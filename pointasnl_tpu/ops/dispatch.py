@@ -1,0 +1,136 @@
+"""Backend dispatch for geometry ops.
+
+Two backends share one API:
+  - "jnp":    pure jax.numpy reference implementations (always correct,
+              differentiable, run anywhere) — pointasnl_tpu.ops.geometry.
+  - "pallas": hand-tiled TPU kernels for the hot ops (FPS today; more as
+              profiling demands) — pointasnl_tpu.ops.pallas.
+
+Selection:
+  - default "auto": pallas on TPU backends, jnp elsewhere;
+  - env var POINTASNL_OPS_BACKEND={auto,jnp,pallas} overrides;
+  - `with ops_backend("jnp"): ...` overrides locally (used by tests to
+    cross-check kernels against the oracle).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import os
+import threading
+
+import jax
+
+from pointasnl_tpu.ops import geometry as _g
+
+_state = threading.local()
+
+
+def _default_backend() -> str:
+    return os.environ.get("POINTASNL_OPS_BACKEND", "auto")
+
+
+def current_backend() -> str:
+    return getattr(_state, "backend", None) or _default_backend()
+
+
+@contextlib.contextmanager
+def ops_backend(name: str):
+    """Locally force the ops backend ("jnp", "pallas", or "auto")."""
+    prev = getattr(_state, "backend", None)
+    _state.backend = name
+    try:
+        yield
+    finally:
+        _state.backend = prev
+
+
+def _on_tpu() -> bool:
+    try:
+        # "axon" is a tunneled TPU platform; treat it as TPU.
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+def _use_pallas() -> bool:
+    backend = current_backend()
+    if backend == "jnp":
+        return False
+    if backend == "pallas":
+        return True
+    return _on_tpu()
+
+
+# Ops with no Pallas specialization — re-exported directly.
+pairwise_sqdist = _g.pairwise_sqdist
+gather_point = _g.gather_point
+group_point = _g.group_point
+three_interpolate = _g.three_interpolate
+prob_sample = _g.prob_sample
+repulsion_loss = _g.repulsion_loss
+
+
+def farthest_point_sample(npoint, xyz):
+    if _use_pallas():
+        try:
+            from pointasnl_tpu.ops.pallas import fps as _pfps
+        except ImportError:
+            pass
+        else:
+            return _pfps.farthest_point_sample(npoint, xyz)
+    return _g.farthest_point_sample(npoint, xyz)
+
+
+farthest_point_sample.__doc__ = _g.farthest_point_sample.__doc__
+
+
+def knn_point(k, support, query):
+    return _g.knn_point(k, support, query)
+
+
+knn_point.__doc__ = _g.knn_point.__doc__
+
+
+def query_ball_point(radius, nsample, xyz, new_xyz):
+    return _g.query_ball_point(radius, nsample, xyz, new_xyz)
+
+
+query_ball_point.__doc__ = _g.query_ball_point.__doc__
+
+
+def three_nn(xyz1, xyz2):
+    return _g.three_nn(xyz1, xyz2)
+
+
+three_nn.__doc__ = _g.three_nn.__doc__
+
+
+def three_interpolate_idw(xyz1, xyz2, points2):
+    return _g.three_interpolate_idw(xyz1, xyz2, points2)
+
+
+three_interpolate_idw.__doc__ = _g.three_interpolate_idw.__doc__
+
+
+def sampling(npoint, pts, feature=None):
+    """FPS + gather (see geometry.sampling); FPS goes through dispatch."""
+    fps_idx = farthest_point_sample(npoint, pts)
+    if feature is None:
+        return gather_point(pts, fps_idx)
+    return gather_point(pts, fps_idx), gather_point(feature, fps_idx)
+
+
+def grouping(feature, k, src_xyz, q_xyz, *, use_xyz=True, use_knn=True, radius=0.2):
+    """Neighborhood grouping (see geometry.grouping); kNN goes through dispatch."""
+    import jax.numpy as jnp
+
+    if use_knn:
+        _, idx = knn_point(k, src_xyz, q_xyz)
+    else:
+        idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
+    grouped_xyz = group_point(src_xyz, idx)
+    grouped_feature = group_point(feature, idx)
+    if use_xyz:
+        grouped_feature = jnp.concatenate([grouped_xyz, grouped_feature], axis=-1)
+    return grouped_xyz, grouped_feature, idx

@@ -1,0 +1,26 @@
+"""Test configuration: run on a virtual 8-device CPU mesh.
+
+The ambient environment may register a TPU PJRT plugin via sitecustomize and
+pin JAX_PLATFORMS to it; env vars alone therefore aren't enough. We import jax
+here (before any backend is initialized) and force the CPU platform plus 8
+virtual host devices — this is how multi-device sharding is tested without a
+TPU slice (SURVEY.md §4).
+"""
+
+import os
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
