@@ -1,0 +1,163 @@
+"""Base layers: the TPU-native equivalents of the reference's utils/tf_util.py.
+
+Design notes (vs the TF1 reference):
+
+- All the reference's convs are 1x1 (pointwise) — `conv1d`/`conv2d` with
+  kernel [1]/[1,1] (utils/tf_util.py:52,120). A pointwise conv over the last
+  axis IS a dense matmul; on TPU that is exactly an MXU-shaped contraction, so
+  `PointConv` is Dense(+bias) -> BatchNorm -> activation with xavier init
+  matching tf.contrib.layers.xavier_initializer (tf_util.py:41-44).
+- BatchNorm momentum is *scheduled* in the reference — bn_decay is a tensor
+  driven by an exponential schedule (train.py:105-113) and fed into
+  tf.contrib.layers.batch_norm's `decay` (tf_util.py:512-533, epsilon 1e-3).
+  `BatchNorm` therefore accepts `momentum` as a traced call argument rather
+  than a static attribute. Under pjit with a batch-sharded input, the batch
+  moments are computed over the *global* batch (XLA inserts the cross-device
+  reduction), which gives synchronized BN across the data-parallel mesh for
+  free.
+- Dropout keeps the reference's keep_prob convention (tf_util.py:594-615).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Array = jax.Array
+
+
+class BatchNorm(nn.Module):
+    """Batch normalization with a dynamically scheduled EMA momentum.
+
+    Matches tf.contrib.layers.batch_norm with center=scale=True, epsilon=1e-3
+    (tf_util.py:528-533): training uses batch moments and updates the moving
+    stats as  moving = moving * momentum + batch * (1 - momentum);
+    eval uses the moving stats.
+    """
+
+    epsilon: float = 1e-3
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool, momentum=0.9) -> Array:
+        features = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+
+        if training:
+            reduce_axes = tuple(range(x.ndim - 1))
+            xf = x.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=reduce_axes)
+            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            if not self.is_initializing():
+                m = jnp.asarray(momentum, jnp.float32)
+                ra_mean.value = ra_mean.value * m + mean * (1.0 - m)
+                ra_var.value = ra_var.value * m + var * (1.0 - m)
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        y = (x - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class Dropout(nn.Module):
+    """Dropout with the reference's keep_prob convention (tf_util.py:594)."""
+
+    keep_prob: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool) -> Array:
+        return nn.Dropout(rate=1.0 - self.keep_prob, deterministic=not training)(x)
+
+
+class PointConv(nn.Module):
+    """Pointwise (1x1) convolution: Dense + bias [+ BN] [+ activation].
+
+    Equivalent of tf_util.conv1d/conv2d with kernel size 1 (tf_util.py:52,120):
+    xavier-uniform kernel, zero bias, optional scheduled-momentum BN, default
+    ReLU. The kernel parameter is the analog of the reference's `weights`
+    variables, which the models L2-regularize (models/pointasnl_cls.py:58).
+    """
+
+    features: int
+    bn: bool = True
+    activation: Optional[Callable[[Array], Array]] = nn.relu
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool, bn_momentum=0.9) -> Array:
+        x = nn.Dense(
+            self.features,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        if self.bn:
+            x = BatchNorm(dtype=self.dtype, name="bn")(
+                x, training=training, momentum=bn_momentum
+            )
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class FullyConnected(nn.Module):
+    """Dense + bias [+ BN] [+ activation] — tf_util.fully_connected (:327)."""
+
+    features: int
+    bn: bool = False
+    activation: Optional[Callable[[Array], Array]] = nn.relu
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool, bn_momentum=0.9) -> Array:
+        x = nn.Dense(
+            self.features,
+            kernel_init=nn.initializers.xavier_uniform(),
+            bias_init=nn.initializers.zeros,
+            dtype=self.dtype,
+            name="dense",
+        )(x)
+        if self.bn:
+            x = BatchNorm(dtype=self.dtype, name="bn")(
+                x, training=training, momentum=bn_momentum
+            )
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class MLP(nn.Module):
+    """Stack of PointConvs (a per-point MLP); `last_activation` controls the tail."""
+
+    features: tuple
+    bn: bool = True
+    activation: Optional[Callable[[Array], Array]] = nn.relu
+    last_activation: Optional[Callable[[Array], Array]] = nn.relu
+    last_bn: bool = True
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool, bn_momentum=0.9) -> Array:
+        n = len(self.features)
+        for i, f in enumerate(self.features):
+            last = i == n - 1
+            x = PointConv(
+                f,
+                bn=self.last_bn if last else self.bn,
+                activation=self.last_activation if last else self.activation,
+                dtype=self.dtype,
+                name=f"conv{i}",
+            )(x, training=training, bn_momentum=bn_momentum)
+        return x

@@ -133,9 +133,16 @@ def knn_point(k: int, support: Array, query: Array) -> Tuple[Array, Array]:
       When query is a subset of support, the query point itself is its own
       first neighbor (distance 0), matching the reference.
     """
+    N = support.shape[1]
     d2 = pairwise_sqdist(query, support)  # (B, M, N)
-    neg, idx = lax.top_k(-d2, k)
-    return -neg, idx.astype(jnp.int32)
+    k_eff = min(k, N)
+    neg, idx = lax.top_k(-d2, k_eff)
+    dist, idx = -neg, idx.astype(jnp.int32)
+    if k_eff < k:  # degenerate k > N: repeat the farthest valid neighbor
+        pad = k - k_eff
+        dist = jnp.concatenate([dist, jnp.repeat(dist[..., -1:], pad, axis=-1)], axis=-1)
+        idx = jnp.concatenate([idx, jnp.repeat(idx[..., -1:], pad, axis=-1)], axis=-1)
+    return dist, idx
 
 
 def query_ball_point(radius: float, nsample: int, xyz: Array, new_xyz: Array) -> Tuple[Array, Array]:
@@ -191,7 +198,18 @@ def three_nn(xyz1: Array, xyz2: Array) -> Tuple[Array, Array]:
     Returns:
       (dist2, idx): both (B, M1, 3); dist2 ascending.
     """
-    d2, idx = knn_point(3, xyz2, xyz1)
+    N = xyz2.shape[1]
+    if N < 3:
+        # Degenerate support (< 3 points): the reference's CPU kernel leaves
+        # the missing slots at (best=1e40, besti=0) — IDW weight ~ 0.
+        d2, idx = knn_point(N, xyz2, xyz1)
+        pad = 3 - N
+        d2 = jnp.concatenate(
+            [d2, jnp.full(d2.shape[:-1] + (pad,), 1e40, d2.dtype)], axis=-1
+        )
+        idx = jnp.concatenate([idx, jnp.zeros(idx.shape[:-1] + (pad,), idx.dtype)], axis=-1)
+    else:
+        d2, idx = knn_point(3, xyz2, xyz1)
     return lax.stop_gradient(d2), idx
 
 
