@@ -87,6 +87,13 @@ class PointConv(nn.Module):
     xavier-uniform kernel, zero bias, optional scheduled-momentum BN, default
     ReLU. The kernel parameter is the analog of the reference's `weights`
     variables, which the models L2-regularize (models/pointasnl_cls.py:58).
+
+    Deliberate deviation: the reference keeps a conv bias even when BN follows
+    (tf_util.py:104-106) — that bias is cancelled by BN's mean subtraction, so
+    its gradient is analytically zero (pure float noise, which Adam then
+    amplifies to ±lr nondeterministically). We drop the bias when bn=True:
+    the function computed is identical, and data-parallel training becomes
+    bitwise-reproducible across mesh shapes.
     """
 
     features: int
@@ -100,6 +107,7 @@ class PointConv(nn.Module):
             self.features,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
+            use_bias=not self.bn,
             dtype=self.dtype,
             name="conv",
         )(x)
@@ -113,7 +121,10 @@ class PointConv(nn.Module):
 
 
 class FullyConnected(nn.Module):
-    """Dense + bias [+ BN] [+ activation] — tf_util.fully_connected (:327)."""
+    """Dense + bias [+ BN] [+ activation] — tf_util.fully_connected (:327).
+
+    Like PointConv, the bias is dropped when BN follows (see PointConv note).
+    """
 
     features: int
     bn: bool = False
@@ -126,6 +137,7 @@ class FullyConnected(nn.Module):
             self.features,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
+            use_bias=not self.bn,
             dtype=self.dtype,
             name="dense",
         )(x)

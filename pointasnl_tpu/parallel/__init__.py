@@ -1,0 +1,16 @@
+"""Device-mesh parallelism: mesh construction, batch sharding, replication.
+
+The reference is single-process single-GPU (SURVEY.md §2.9); this subsystem is
+the new first-class TPU-native design: a 1-D (or 2-D) jax.sharding.Mesh with
+pjit-partitioned steps, XLA collectives over ICI for gradient/BN reductions,
+and DCN via jax.distributed for multi-host scale-out.
+"""
+
+from pointasnl_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+__all__ = ["batch_sharding", "make_mesh", "replicate", "shard_batch"]

@@ -1,0 +1,51 @@
+"""Mesh + sharding helpers (the DP/TP plumbing around the jitted steps).
+
+Data parallelism: batch axis sharded over the 'data' mesh axis; the jitted
+train step then runs SPMD and XLA inserts psum for gradients and the global
+batch moments of BatchNorm (sync-BN for free). Model state is replicated.
+
+A second 'model' axis is accepted for sharding the non-local attention's
+ndataset dimension at whole-scene scale (the CP/ring-attention analog,
+SURVEY.md §5.7) — unused by the parity configs, which fit one chip.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    num_devices: Optional[int] = None,
+    axis_names: Sequence[str] = ("data",),
+    shape: Optional[Sequence[int]] = None,
+) -> Mesh:
+    """Build a device mesh. Default: all local devices on one 'data' axis."""
+    devices = jax.devices()
+    n = num_devices or len(devices)
+    devices = devices[:n]
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    arr = np.array(devices).reshape(tuple(shape))
+    return Mesh(arr, tuple(axis_names))
+
+
+def batch_sharding(mesh: Mesh, ndim: int, axis: str = "data") -> NamedSharding:
+    """Sharding that splits the leading (batch) dim over `axis`."""
+    return NamedSharding(mesh, P(axis, *([None] * (ndim - 1))))
+
+
+def shard_batch(batch, mesh: Mesh, axis: str = "data"):
+    """Place a host batch onto the mesh, sharded along the batch dimension."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, np.ndim(x), axis)), batch
+    )
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree (params / train state) across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
