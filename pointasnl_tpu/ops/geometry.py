@@ -201,11 +201,12 @@ def three_nn(xyz1: Array, xyz2: Array) -> Tuple[Array, Array]:
     N = xyz2.shape[1]
     if N < 3:
         # Degenerate support (< 3 points): the reference's CPU kernel leaves
-        # the missing slots at (best=1e40, besti=0) — IDW weight ~ 0.
+        # the missing slots at (best=1e40, besti=0) — IDW weight ~ 0. We use
+        # 1e38 (float32-representable) for the same effect.
         d2, idx = knn_point(N, xyz2, xyz1)
         pad = 3 - N
         d2 = jnp.concatenate(
-            [d2, jnp.full(d2.shape[:-1] + (pad,), 1e40, d2.dtype)], axis=-1
+            [d2, jnp.full(d2.shape[:-1] + (pad,), 1e38, d2.dtype)], axis=-1
         )
         idx = jnp.concatenate([idx, jnp.zeros(idx.shape[:-1] + (pad,), idx.dtype)], axis=-1)
     else:
