@@ -135,6 +135,6 @@ class ModelNetDataset:
         for i in range(bsize):
             ps, cls = self._get_item(self.idxs[i + start])
             batch_data[i] = ps
-            batch_label[i] = cls
+            batch_label[i] = cls[0]
         self.batch_idx += 1
         return batch_data, batch_label
