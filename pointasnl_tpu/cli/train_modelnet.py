@@ -1,0 +1,216 @@
+"""ModelNet40 classification trainer — the TPU rebuild of train.py.
+
+Same flag surface and training recipe (train.py:18-35,95-113,208-264):
+B=16, N=1024, adam with staircase LR decay (x0.7 / 200k samples, floor 1e-5),
+scheduled BN momentum 0.5->0.99, numpy augmentation pipeline per batch
+(rotation -> scale -> shift -> shared point shuffle -> random dropout),
+per-epoch eval, best+latest checkpoints, auto-resume from latest.
+
+The whole optimization step (FPS/kNN/attention/backward/adam/BN) is ONE jitted
+XLA program on the accelerator; the host only feeds augmented numpy batches.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("train_modelnet")
+    p.add_argument("--data", default="data/modelnet40_normal_resampled", help="dataset root")
+    p.add_argument("--log_dir", default="logs/modelnet_cls", help="log/checkpoint dir")
+    p.add_argument("--model", default="pointasnl_cls")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--num_point", type=int, default=1024)
+    p.add_argument("--max_epoch", type=int, default=251)
+    p.add_argument("--learning_rate", type=float, default=0.001)
+    p.add_argument("--optimizer", default="adam", choices=["adam", "momentum"])
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--decay_step", type=int, default=200000)
+    p.add_argument("--decay_rate", type=float, default=0.7)
+    p.add_argument("--AS", action="store_true", help="adaptive sampling")
+    p.add_argument("--normal", action="store_true", help="use normals as features")
+    p.add_argument("--rotation", action="store_true", help="rotation augmentation")
+    p.add_argument("--uniform", action="store_true", help="FPS resampling in the dataset")
+    p.add_argument("--num_classes", type=int, default=40)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--debug", action="store_true", help="1 batch per epoch, 2 epochs")
+    return p.parse_args(argv)
+
+
+def pad_batch(batch_data, batch_label, batch_size):
+    """Pad a short tail batch up to the static batch size (repeat row 0)."""
+    bsize = batch_data.shape[0]
+    if bsize == batch_size:
+        return batch_data, batch_label, bsize
+    data = np.concatenate([batch_data, np.repeat(batch_data[:1], batch_size - bsize, 0)], 0)
+    label = np.concatenate([batch_label, np.repeat(batch_label[:1], batch_size - bsize, 0)], 0)
+    return data, label, bsize
+
+
+def augment_batch(batch_data, flags, rs):
+    from pointasnl_tpu.data import provider
+
+    if flags.rotation:
+        if flags.normal:
+            batch_data = provider.rotate_point_cloud_with_normal(batch_data, random_state=rs)
+            batch_data = provider.rotate_perturbation_point_cloud_with_normal(
+                batch_data, random_state=rs
+            )
+        else:
+            batch_data = provider.rotate_point_cloud(batch_data, random_state=rs)
+            batch_data = provider.rotate_perturbation_point_cloud(batch_data, random_state=rs)
+    batch_data = np.asarray(batch_data)
+    batch_data[:, :, 0:3] = provider.random_scale_point_cloud(
+        batch_data[:, :, 0:3], random_state=rs
+    )
+    batch_data[:, :, 0:3] = provider.shift_point_cloud(batch_data[:, :, 0:3], random_state=rs)
+    batch_data = provider.shuffle_points(batch_data, random_state=rs)
+    batch_data = provider.random_point_dropout(batch_data, random_state=rs)
+    return batch_data
+
+
+def main(argv=None):
+    flags = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointasnl_tpu.data.modelnet import ModelNetDataset
+    from pointasnl_tpu.models import get_model_class
+    from pointasnl_tpu.train import (
+        bn_momentum_schedule,
+        create_train_state,
+        make_eval_step,
+        make_train_step,
+        staircase_lr_schedule,
+    )
+    from pointasnl_tpu.train.checkpoint import (
+        checkpoint_exists,
+        restore_checkpoint,
+        save_checkpoint,
+    )
+    from pointasnl_tpu.train.state import make_optimizer
+    from pointasnl_tpu.utils import Logger, save_args
+
+    log = Logger(flags.log_dir)
+    save_args(flags, flags.log_dir)
+    rs = np.random.RandomState(flags.seed)
+
+    train_ds = ModelNetDataset(
+        flags.data,
+        batch_size=flags.batch_size,
+        npoints=flags.num_point,
+        split="train",
+        normal_channel=flags.normal,
+        uniform=flags.uniform,
+        random_state=rs,
+    )
+    test_ds = ModelNetDataset(
+        flags.data,
+        batch_size=flags.batch_size,
+        npoints=flags.num_point,
+        split="test",
+        normal_channel=flags.normal,
+        uniform=flags.uniform,
+        random_state=rs,
+    )
+
+    model_cls = get_model_class(flags.model)
+    model = model_cls(
+        num_class=flags.num_classes, use_normal=flags.normal, adaptive_sample=flags.AS
+    )
+
+    lr_sched = staircase_lr_schedule(
+        flags.learning_rate, flags.batch_size, float(flags.decay_step), flags.decay_rate
+    )
+    bn_sched = bn_momentum_schedule(flags.batch_size, float(flags.decay_step))
+    tx = make_optimizer(flags.optimizer, lr_sched, momentum=flags.momentum)
+
+    example = jnp.zeros(
+        (flags.batch_size, flags.num_point, train_ds.num_channel()), jnp.float32
+    )
+    state = create_train_state(model, example, tx=tx, rng=jax.random.PRNGKey(flags.seed))
+    if checkpoint_exists(flags.log_dir, "latest"):
+        state = restore_checkpoint(state, flags.log_dir, "latest")
+        log(f"resumed from latest checkpoint at step {int(state.step)}")
+
+    train_step = make_train_step(bn_schedule=bn_sched, task="cls")
+    eval_step = make_eval_step(task="cls")
+    dropout_rng = jax.random.PRNGKey(flags.seed + 1)
+
+    max_epoch = 2 if flags.debug else flags.max_epoch
+    best_acc = 0.0
+    for epoch in range(max_epoch):
+        log(f"**** EPOCH {epoch:03d} ****")
+        # --- train ---
+        t0 = time.time()
+        total_correct = total_seen = 0
+        loss_sum = 0.0
+        num_batches = 0
+        while train_ds.has_next_batch():
+            batch_data, batch_label = train_ds.next_batch()
+            batch_data = augment_batch(batch_data, flags, rs)
+            batch_data, batch_label, bsize = pad_batch(
+                batch_data.astype(np.float32), batch_label, flags.batch_size
+            )
+            state, metrics = train_step(
+                state,
+                {"points": jnp.asarray(batch_data), "labels": jnp.asarray(batch_label)},
+                dropout_rng,
+            )
+            loss_sum += float(metrics["loss"])
+            total_correct += float(metrics["accuracy"]) * flags.batch_size
+            total_seen += bsize
+            num_batches += 1
+            if flags.debug:
+                break
+        train_ds.reset()
+        log(
+            f"train loss {loss_sum / max(num_batches, 1):.4f} "
+            f"acc {total_correct / max(total_seen, 1):.4f} "
+            f"({time.time() - t0:.1f}s, lr {float(lr_sched(state.step)):.6f})"
+        )
+
+        # --- eval ---
+        total_correct = total_seen = 0
+        class_seen = np.zeros(flags.num_classes)
+        class_correct = np.zeros(flags.num_classes)
+        while test_ds.has_next_batch():
+            batch_data, batch_label = test_ds.next_batch()
+            batch_data, batch_label, bsize = pad_batch(
+                batch_data.astype(np.float32), batch_label, flags.batch_size
+            )
+            logits, _ = eval_step(
+                state,
+                {"points": jnp.asarray(batch_data), "labels": jnp.asarray(batch_label)},
+            )
+            preds = np.asarray(jnp.argmax(logits, -1))[:bsize]
+            labels = batch_label[:bsize]
+            total_correct += int(np.sum(preds == labels))
+            total_seen += bsize
+            for i in range(bsize):
+                class_seen[labels[i]] += 1
+                class_correct[labels[i]] += int(preds[i] == labels[i])
+            if flags.debug:
+                break
+        test_ds.reset()
+        acc = total_correct / max(total_seen, 1)
+        avg_class_acc = float(np.mean(class_correct / np.maximum(class_seen, 1)))
+        log(f"eval accuracy: {acc:.4f} avg class acc: {avg_class_acc:.4f}")
+
+        save_checkpoint(state, flags.log_dir, "latest")
+        if acc >= best_acc:  # >= so a "best" checkpoint always exists
+            best_acc = acc
+            save_checkpoint(state, flags.log_dir, "best")
+            log(f"new best accuracy: {best_acc:.4f}")
+    log(f"done; best eval accuracy {best_acc:.4f}")
+    return best_acc
+
+
+if __name__ == "__main__":
+    main()
