@@ -1,0 +1,147 @@
+"""ScanNet whole-scene evaluation with sliding-window vote pooling — rebuild
+of ScanNet/test_scannet.py.
+
+Protocol parity: per scene, `num_votes` passes of the sliding-window dataset
+(each pass re-randomizes the block split), per-block argmax over classes 1:
+(+1), weighted vote accumulation into the original point ids
+(test_scannet.py:96-163), final per-scene txt dump of 21->NYU40 ids
+(:179-186), and val-split mIoU over classes 1..20.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+import numpy as np
+
+from pointasnl_tpu.cli.seg_common import SegEvalAccumulator, add_vote, str2bool
+
+# 21-class training ids -> NYU40 ids (prepare_scannet.py:13)
+TEST_CLASS = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39])
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("test_scannet")
+    p.add_argument("--data", default="data/ScanNet/")
+    p.add_argument("--model", default="pointasnl_sem_seg")
+    p.add_argument("--batch_size", type=int, default=6)
+    p.add_argument("--num_point", type=int, default=8192)
+    p.add_argument("--model_path", required=True, help="checkpoint dir (containing best/latest)")
+    p.add_argument("--ckpt", default="best", choices=["best", "latest"])
+    p.add_argument("--dump_dir", default="logs/dump/")
+    p.add_argument("--num_votes", type=int, default=10)
+    p.add_argument("--with_rgb", type=str2bool, default=True)
+    p.add_argument("--dataset", default="val", choices=["val", "test"])
+    p.add_argument("--num_classes", type=int, default=21)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_scenes", type=int, default=0, help="0 = all (debug aid)")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    flags = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointasnl_tpu.data.scannet import ScannetDatasetWholeSceneSlidingWindow
+    from pointasnl_tpu.models import get_model_class
+    from pointasnl_tpu.train import create_train_state, staircase_lr_schedule
+    from pointasnl_tpu.train.checkpoint import restore_checkpoint
+    from pointasnl_tpu.train.state import make_optimizer
+    from pointasnl_tpu.train.steps import make_predict_step
+    from pointasnl_tpu.utils import Logger
+
+    dump_dir = os.path.join(flags.dump_dir, datetime.now().strftime("%Y_%m_%d_%H_%M_%S"))
+    os.makedirs(dump_dir, exist_ok=True)
+    log = Logger(dump_dir, filename="log_evaluate.txt")
+    rs = np.random.RandomState(flags.seed)
+    feature_channel = 3 if flags.with_rgb else 0
+
+    dataset = ScannetDatasetWholeSceneSlidingWindow(
+        flags.data,
+        split=flags.dataset,
+        block_points=flags.num_point,
+        with_rgb=flags.with_rgb,
+        random_state=rs,
+    )
+
+    model = get_model_class(flags.model)(
+        num_class=flags.num_classes, feature_channel=feature_channel
+    )
+    tx = make_optimizer("adam", staircase_lr_schedule(1e-3, flags.batch_size, 2e5, 0.7))
+    example = jnp.zeros((flags.batch_size, flags.num_point, 3 + feature_channel), jnp.float32)
+    state = create_train_state(model, example, tx=tx, rng=jax.random.PRNGKey(0))
+    state = restore_checkpoint(state, flags.model_path, flags.ckpt)
+    predict = make_predict_step()
+    log("Model restored.")
+
+    scene_list_path = os.path.join(flags.data, f"scannetv2_{flags.dataset}.txt")
+    if os.path.exists(scene_list_path):
+        with open(scene_list_path) as fl:
+            scene_ids = fl.read().splitlines()
+    else:
+        scene_ids = [f"scene{i:04d}" for i in range(len(dataset))]
+
+    total = SegEvalAccumulator(flags.num_classes)
+    n_scenes = len(dataset) if flags.max_scenes == 0 else min(flags.max_scenes, len(dataset))
+    for scene_idx in range(n_scenes):
+        whole_scene_points_index = dataset.scene_points_id[scene_idx]
+        whole_scene_points_num = dataset.scene_points_num[scene_idx]
+        whole_scene_label = dataset.semantic_labels_list[scene_idx]
+        vote_label_pool = np.zeros((whole_scene_label.shape[0], flags.num_classes))
+
+        for _ in range(flags.num_votes):
+            scene_data, scene_label, scene_smpw, scene_point_index = dataset[scene_idx]
+            num_blocks = scene_data.shape[0]
+            s_batch_num = (num_blocks + flags.batch_size - 1) // flags.batch_size
+            for sbatch in range(s_batch_num):
+                start = sbatch * flags.batch_size
+                end = min((sbatch + 1) * flags.batch_size, num_blocks)
+                real = end - start
+                batch_data = np.zeros(
+                    (flags.batch_size, flags.num_point, 3 + feature_channel), np.float32
+                )
+                batch_index = np.zeros((flags.batch_size, flags.num_point))
+                batch_smpw = np.zeros((flags.batch_size, flags.num_point))
+                batch_data[:real] = scene_data[start:end, :, : 3 + feature_channel]
+                batch_index[:real] = scene_point_index[start:end]
+                batch_smpw[:real] = scene_smpw[start:end]
+
+                logits = np.asarray(predict(state, jnp.asarray(batch_data)))
+                # argmax over classes 1: then +1 (never predict unannotated)
+                pred_label = np.argmax(logits[:, :, 1:], 2) + 1
+                vote_label_pool = add_vote(
+                    vote_label_pool,
+                    batch_index[:real],
+                    pred_label[:real],
+                    batch_smpw[:real],
+                )
+
+        pred_label = np.argmax(vote_label_pool, 1)
+        scene_acc = SegEvalAccumulator(flags.num_classes)
+        scene_acc.update(pred_label, whole_scene_label)
+        total.update(pred_label, whole_scene_label)
+        sid = scene_ids[scene_idx] if scene_idx < len(scene_ids) else f"scene{scene_idx}"
+        log(f"[{scene_idx + 1}/{n_scenes}] {sid} mIoU {scene_acc.miou():.4f}")
+
+        # dump NYU40-id predictions on the original vertex ordering
+        whole_scene_data = np.zeros(whole_scene_points_num)
+        whole_scene_data[whole_scene_points_index] = TEST_CLASS[pred_label.astype(np.int32)]
+        with open(os.path.join(dump_dir, sid + ".txt"), "w") as f:
+            for v in whole_scene_data:
+                f.write(f"{int(v)}\n")
+
+    if flags.dataset == "val":
+        iou = total.per_class_iou()[1:]
+        log(f"eval point avg class IoU: {float(np.mean(iou)):.6f}")
+        for i, v in enumerate(iou):
+            log(f"Class {i + 1} : {v:.4f}")
+    log("Done!")
+    return total.miou() if flags.dataset == "val" else None
+
+
+if __name__ == "__main__":
+    main()

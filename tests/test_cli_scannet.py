@@ -1,0 +1,68 @@
+"""End-to-end ScanNet train/test CLI smoke on synthetic pickles (debug mode)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+
+def make_scene(rng, n=3000, extent=3.0):
+    xyz = rng.rand(n, 3).astype(np.float32) * extent
+    rgb = (rng.rand(n, 3) * 255).astype(np.float32)
+    pts = np.concatenate([xyz, rgb], 1)
+    labels = rng.randint(0, 21, n).astype(np.int32)
+    return pts, labels
+
+
+@pytest.fixture(scope="module")
+def synthetic_scannet(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    root = tmp_path_factory.mktemp("scannet")
+    for split, n_scenes in [("train", 2), ("val", 2)]:
+        scene_data, scene_labels, scene_ids, scene_nums = [], [], [], []
+        for _ in range(n_scenes):
+            pts, labels = make_scene(rng)
+            scene_data.append(pts)
+            scene_labels.append(labels)
+            scene_ids.append(np.arange(len(pts)))
+            scene_nums.append(len(pts))
+        with open(root / f"scannet_{split}_rgb21c_pointid.pickle", "wb") as f:
+            pickle.dump(scene_data, f)
+            pickle.dump(scene_labels, f)
+            pickle.dump(scene_ids, f)
+            pickle.dump(scene_nums, f)
+    (root / "scannetv2_val.txt").write_text("scene0000_00\nscene0001_00\n")
+    return str(root)
+
+
+def test_train_and_test_scannet_cli(synthetic_scannet, tmp_path):
+    from pointasnl_tpu.cli import test_scannet, train_scannet
+
+    log_dir = str(tmp_path / "logs")
+    best_iou = train_scannet.main(
+        [
+            "--data", synthetic_scannet,
+            "--log_dir", log_dir,
+            "--batch_size", "2",
+            "--num_point", "512",
+            "--whole_eval_start", "0",
+            "--debug",
+        ]
+    )
+    assert 0.0 <= best_iou <= 1.0
+    assert os.path.isdir(os.path.join(log_dir, "latest"))
+
+    miou = test_scannet.main(
+        [
+            "--data", synthetic_scannet,
+            "--model_path", log_dir,
+            "--ckpt", "latest",
+            "--dump_dir", str(tmp_path / "dump"),
+            "--batch_size", "2",
+            "--num_point", "512",
+            "--num_votes", "1",
+            "--max_scenes", "1",
+        ]
+    )
+    assert 0.0 <= miou <= 1.0
