@@ -1,0 +1,157 @@
+"""SemanticKITTI sliding-window inference — rebuild of
+SemanticKITTI/test_semantic_kitti.py.
+
+Protocol parity: per scan, `num_votes` sliding-window passes, per-block
+argmax over classes 1: (+1), vote pooling into original point ids, uint32
+`.label` dump under sequences/{seq}/predictions (test_semantic_kitti.py:135-180).
+
+`--remap_inv` additionally maps training ids through learning_map_inv to raw
+label ids — what the official semantic-kitti-api evaluator expects (the
+reference block tester writes raw training ids and relies on the api's remap
+script; the grid tester remaps, so both conventions are available here).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from pointasnl_tpu.cli.seg_common import SegEvalAccumulator, add_vote
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("test_semantic_kitti")
+    p.add_argument("--data", default="data/kitti/dataset/")
+    p.add_argument("--model", default="pointasnl_sem_seg")
+    p.add_argument("--model_path", required=True, help="checkpoint dir")
+    p.add_argument("--ckpt", default="best", choices=["best", "latest"])
+    p.add_argument("--dump_dir", default="logs/kitti_dump/")
+    p.add_argument("--save_dir", default="logs/kitti_pred/")
+    p.add_argument("--batch_size", type=int, default=6)
+    p.add_argument("--num_point", type=int, default=8192)
+    p.add_argument("--num_votes", type=int, default=1)
+    p.add_argument("--with_remission", action="store_true")
+    p.add_argument("--random_rotate", action="store_true")
+    p.add_argument("--config_file", default=None)
+    p.add_argument("--dataset", default="valid", choices=["valid", "test"])
+    p.add_argument("--num_classes", type=int, default=20)
+    p.add_argument("--remap_inv", action="store_true", help="write raw label ids")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--max_scans", type=int, default=0, help="0 = all")
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    flags = parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointasnl_tpu.data import provider
+    from pointasnl_tpu.data.semantic_kitti import SemanticKittiDatasetSlidingWindow
+    from pointasnl_tpu.data.semantic_kitti_config import LEARNING_MAP_INV
+    from pointasnl_tpu.models import get_model_class
+    from pointasnl_tpu.train import create_train_state, staircase_lr_schedule
+    from pointasnl_tpu.train.checkpoint import restore_checkpoint
+    from pointasnl_tpu.train.state import make_optimizer
+    from pointasnl_tpu.train.steps import make_predict_step
+    from pointasnl_tpu.utils import Logger
+
+    os.makedirs(flags.dump_dir, exist_ok=True)
+    log = Logger(flags.dump_dir, filename="log_evaluate.txt")
+    rs = np.random.RandomState(flags.seed)
+    feature_channel = 1 if flags.with_remission else 0
+
+    dataset = SemanticKittiDatasetSlidingWindow(
+        flags.data,
+        sample_points=flags.num_point,
+        split=flags.dataset,
+        with_remission=flags.with_remission,
+        config_file=flags.config_file,
+        random_state=rs,
+    )
+
+    model = get_model_class(flags.model)(
+        num_class=flags.num_classes, feature_channel=feature_channel
+    )
+    tx = make_optimizer("adam", staircase_lr_schedule(1e-3, flags.batch_size, 2e5, 0.7))
+    example = jnp.zeros((flags.batch_size, flags.num_point, 3 + feature_channel), jnp.float32)
+    state = create_train_state(model, example, tx=tx, rng=jax.random.PRNGKey(0))
+    state = restore_checkpoint(state, flags.model_path, flags.ckpt)
+    predict = make_predict_step()
+    log("Model restored.")
+
+    inv_lut = np.zeros(flags.num_classes, np.uint32)
+    for k, v in LEARNING_MAP_INV.items():
+        inv_lut[k] = v
+
+    total = SegEvalAccumulator(flags.num_classes)
+    n_scans = len(dataset) if flags.max_scans == 0 else min(flags.max_scans, len(dataset))
+    for scan_idx in range(n_scans):
+        full_points_name = dataset.points_name[scan_idx]
+        components = full_points_name.split(os.sep)
+        sequence = components[-3]
+        label_name = components[-1].replace("bin", "label")
+        save_dir = os.path.join(flags.save_dir, "sequences", sequence, "predictions")
+        os.makedirs(save_dir, exist_ok=True)
+
+        whole_scene_label = None
+        vote_label_pool = None
+        for _ in range(flags.num_votes):
+            item = dataset[scan_idx]
+            if flags.dataset == "test":
+                scene_data, scene_point_index, whole_scene_data = item
+            else:
+                scene_data, scene_point_index, whole_scene_data, whole_scene_label = item
+            if vote_label_pool is None:
+                vote_label_pool = np.zeros((whole_scene_data.shape[0], flags.num_classes))
+            num_blocks = scene_data.shape[0]
+            s_batch_num = (num_blocks + flags.batch_size - 1) // flags.batch_size
+            for sbatch in range(s_batch_num):
+                start = sbatch * flags.batch_size
+                end = min((sbatch + 1) * flags.batch_size, num_blocks)
+                real = end - start
+                batch_data = np.zeros(
+                    (flags.batch_size, flags.num_point, 3 + feature_channel), np.float32
+                )
+                batch_index = np.zeros((flags.batch_size, flags.num_point))
+                batch_data[:real] = scene_data[start:end]
+                batch_index[:real] = scene_point_index[start:end]
+                if flags.random_rotate:
+                    batch_data[:, :, :3] = provider.rotate_point_cloud_z(
+                        batch_data[:, :, :3], random_state=rs
+                    )
+                logits = np.asarray(predict(state, jnp.asarray(batch_data)))
+                pred_label = np.argmax(logits[:, :, 1:], 2) + 1
+                vote_label_pool = add_vote(
+                    vote_label_pool,
+                    batch_index[:real],
+                    pred_label[:real],
+                    np.ones_like(batch_index[:real]),
+                )
+
+        final_preds = np.argmax(vote_label_pool, axis=1).astype(np.uint32)
+        out = inv_lut[final_preds] if flags.remap_inv else final_preds
+        out.astype(np.uint32).tofile(os.path.join(save_dir, label_name))
+
+        if flags.dataset != "test" and whole_scene_label is not None:
+            scan_acc = SegEvalAccumulator(flags.num_classes)
+            scan_acc.update(final_preds, whole_scene_label)
+            total.update(final_preds, whole_scene_label)
+            log(
+                f"[{scan_idx + 1}/{n_scans}] {sequence}-{label_name.split('.')[0]} "
+                f"mIoU {scan_acc.miou():.4f}"
+            )
+
+    if flags.dataset != "test":
+        log(f"eval point avg class IoU: {total.miou():.6f}")
+        log(f"eval point accuracy: {total.accuracy():.6f}")
+        return total.miou()
+    log("Done!")
+    return None
+
+
+if __name__ == "__main__":
+    main()

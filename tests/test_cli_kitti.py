@@ -1,0 +1,71 @@
+"""End-to-end SemanticKITTI train/test CLI smoke on synthetic scans."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def synthetic_kitti(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    root = tmp_path_factory.mktemp("kitti")
+    # sequences 00 (train), 08 (valid): 2 scans each
+    for seq in ["00", "01", "02", "03", "04", "05", "06", "07", "09", "10", "08"]:
+        vel = root / "sequences" / seq / "velodyne"
+        lab = root / "sequences" / seq / "labels"
+        vel.mkdir(parents=True)
+        lab.mkdir(parents=True)
+        n_scans = 2 if seq in ("00", "08") else 0
+        for i in range(n_scans):
+            n = 4000
+            pts = (rng.rand(n, 4).astype(np.float32) - 0.5) * 20
+            pts[:, 3] = rng.rand(n)
+            raw_ids = np.asarray([0, 1, 10, 40, 48, 50, 70, 72], np.uint32)
+            sem = raw_ids[rng.randint(0, len(raw_ids), n)]
+            label = sem.astype(np.uint32)
+            pts.tofile(vel / f"{i:06d}.bin")
+            label.tofile(lab / f"{i:06d}.label")
+    return str(root)
+
+
+def test_train_and_test_kitti_cli(synthetic_kitti, tmp_path):
+    from pointasnl_tpu.cli import test_semantic_kitti, train_semantic_kitti
+
+    log_dir = str(tmp_path / "logs")
+    best_iou = train_semantic_kitti.main(
+        [
+            "--data", synthetic_kitti,
+            "--log_dir", log_dir,
+            "--batch_size", "2",
+            "--num_point", "512",
+            "--with_remission",
+            "--debug",
+        ]
+    )
+    assert 0.0 <= best_iou <= 1.0
+
+    miou = test_semantic_kitti.main(
+        [
+            "--data", synthetic_kitti,
+            "--model_path", log_dir,
+            "--ckpt", "latest",
+            "--dump_dir", str(tmp_path / "dump"),
+            "--save_dir", str(tmp_path / "pred"),
+            "--batch_size", "2",
+            "--num_point", "512",
+            "--num_votes", "1",
+            "--with_remission",
+            "--remap_inv",
+            "--max_scans", "1",
+        ]
+    )
+    assert 0.0 <= miou <= 1.0
+    # .label file written with raw ids
+    pred_dir = tmp_path / "pred" / "sequences" / "08" / "predictions"
+    files = list(pred_dir.glob("*.label"))
+    assert len(files) == 1
+    out = np.fromfile(files[0], dtype=np.uint32)
+    assert out.shape[0] == 4000
+    valid_raw = {0, 10, 11, 15, 18, 20, 30, 31, 32, 40, 44, 48, 49, 50, 51, 70, 71, 72, 80, 81}
+    assert set(np.unique(out)).issubset(valid_raw)
