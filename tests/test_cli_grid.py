@@ -1,0 +1,165 @@
+"""End-to-end grid-pipeline tests: ScanNet grid + SemanticKITTI grid (debug)."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from pointasnl_tpu.data.ply import read_ply, write_ply
+
+
+def make_scene_cloud(rng, n=2500, extent=2.5):
+    xyz = (rng.rand(n, 3) * extent).astype(np.float32)
+    rgb = (rng.rand(n, 3) * 255).astype(np.uint8)
+    labels = rng.choice([0, 1, 2, 5, 8, 39], n).astype(np.int32)
+    vert_inds = np.arange(n, dtype=np.int32)
+    return xyz, rgb, labels, vert_inds
+
+
+@pytest.fixture(scope="module")
+def synthetic_scannet_grid(tmp_path_factory):
+    rng = np.random.RandomState(0)
+    root = tmp_path_factory.mktemp("scannet_grid")
+    tp = root / "training_points"
+    tm = root / "training_meshes"
+    tp.mkdir()
+    tm.mkdir()
+    scenes = ["scene0000_00", "scene0001_00", "scene0002_00"]
+    val_scenes = ["scene0002_00"]
+    for scene in scenes:
+        xyz, rgb, labels, vert_inds = make_scene_cloud(rng)
+        write_ply(
+            str(tp / f"{scene}.ply"),
+            [xyz, rgb, labels, vert_inds],
+            ["x", "y", "z", "red", "green", "blue", "class", "vert_ind"],
+        )
+        # mesh ply: same vertices (toy), with class labels and a few faces
+        faces = rng.randint(0, len(xyz), (50, 3)).astype(np.int32)
+        write_ply(
+            str(tm / f"{scene}_mesh.ply"),
+            [xyz, rgb, labels],
+            ["x", "y", "z", "red", "green", "blue", "class"],
+            triangular_faces=faces,
+        )
+    (root / "scannet_v2_val.txt").write_text("\n".join(val_scenes) + "\n")
+    return str(root)
+
+
+def test_scannet_grid_dataset_generator(synthetic_scannet_grid):
+    from pointasnl_tpu.data.grid_pipeline import GridConfig
+    from pointasnl_tpu.data.scannet_grid import ScannetGridDataset
+
+    ds = ScannetGridDataset(
+        synthetic_scannet_grid,
+        npoint=256,
+        buffer=64,
+        random_state=np.random.RandomState(0),
+        prepare=False,
+    )
+    ds.load_subsampled_clouds(0.04)
+    assert ds.num_training == 2
+    assert ds.num_validation == 1
+    assert len(ds.validation_proj) == 1
+
+    cfg = GridConfig(batch_size=2, epoch_steps=3, validation_size=2)
+    batches = list(ds.batches("training", cfg))
+    assert len(batches) == 3
+    b = batches[0]
+    assert b["points"].shape == (2, 256, 3)
+    assert b["colors"].shape == (2, 256, 3)
+    assert b["labels"].shape == (2, 256)
+    assert b["label_weights"].min() >= 0
+    # KDTree caches created
+    assert os.path.isdir(os.path.join(synthetic_scannet_grid, "input_0.040"))
+
+
+def test_train_and_test_scannet_grid_cli(synthetic_scannet_grid, tmp_path):
+    from pointasnl_tpu.cli import test_scannet_grid, train_scannet_grid
+
+    log_dir = str(tmp_path / "logs")
+    best = train_scannet_grid.main(
+        [
+            "--data", synthetic_scannet_grid,
+            "--log_dir", log_dir,
+            "--batch_size", "2",
+            "--num_point", "512",
+            "--num_buffer", "64",
+            "--debug",
+        ]
+    )
+    assert best >= 0.0
+    assert os.path.exists(os.path.join(log_dir, "args.txt"))
+
+    miou = test_scannet_grid.main(
+        [
+            "--data", synthetic_scannet_grid,
+            "--model_path", log_dir,
+            "--ckpt", "latest",
+            "--dump_dir", str(tmp_path / "dump"),
+            "--num_votes", "0.001",
+            "--max_rounds", "1",
+            "--batch_size", "2",
+        ]
+    )
+    assert miou is not None and miou >= 0.0
+
+
+@pytest.fixture(scope="module")
+def synthetic_kitti_raw(tmp_path_factory):
+    rng = np.random.RandomState(1)
+    root = tmp_path_factory.mktemp("kitti_raw")
+    for seq, n_scans in [("00", 3), ("08", 2)]:
+        vel = root / seq / "velodyne"
+        lab = root / seq / "labels"
+        vel.mkdir(parents=True)
+        lab.mkdir(parents=True)
+        for i in range(n_scans):
+            n = 3000
+            pts = np.zeros((n, 4), np.float32)
+            pts[:, :3] = (rng.rand(n, 3) - 0.5) * 15
+            pts[:, 3] = rng.rand(n)
+            raw_ids = np.asarray([0, 10, 40, 48, 50, 70], np.uint32)
+            sem = raw_ids[rng.randint(0, len(raw_ids), n)]
+            pts.tofile(vel / f"{i:06d}.bin")
+            sem.astype(np.uint32).tofile(lab / f"{i:06d}.label")
+    return str(root)
+
+
+def test_train_and_test_kitti_grid_cli(synthetic_kitti_raw, tmp_path):
+    from pointasnl_tpu.cli import test_semantic_kitti_grid, train_semantic_kitti_grid
+
+    log_dir = str(tmp_path / "logs")
+    best = train_semantic_kitti_grid.main(
+        [
+            "--data", synthetic_kitti_raw,
+            "--log_dir", log_dir,
+            "--batch_size", "2",
+            "--num_point", "512",
+            "--num_buffer", "64",
+            "--first_subsampling_dl", "0.2",
+            "--prepare_data",
+            "--debug",
+        ]
+    )
+    assert best >= 0.0
+    # prepared caches exist
+    assert os.path.isdir(synthetic_kitti_raw.rstrip("/") + "_0.2")
+
+    test_semantic_kitti_grid.main(
+        [
+            "--data", synthetic_kitti_raw,
+            "--model_path", log_dir,
+            "--ckpt", "latest",
+            "--save_dir", str(tmp_path / "pred"),
+            "--test_id", "8",
+            "--num_votes", "0.001",
+            "--max_rounds", "1",
+            "--batch_size", "2",
+        ]
+    )
+    pred_dir = tmp_path / "pred" / "sequences" / "08" / "predictions"
+    files = sorted(pred_dir.glob("*.label"))
+    assert len(files) == 2
+    out = np.fromfile(files[0], dtype=np.uint32)
+    assert out.shape[0] == 3000  # reprojected to the raw scan
