@@ -1,0 +1,37 @@
+"""Pallas kernel tests (interpret mode on CPU) against the jnp oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pointasnl_tpu.ops import geometry as g
+from pointasnl_tpu.ops.dispatch import ops_backend
+from pointasnl_tpu.ops.pallas import fps as pfps
+
+
+@pytest.mark.parametrize("B,N,M", [(2, 256, 64), (1, 300, 50), (3, 128, 128)])
+def test_pallas_fps_matches_oracle(rng, B, N, M):
+    xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pfps.farthest_point_sample(M, xyz))
+    want = np.asarray(g.farthest_point_sample(M, xyz))
+    np.testing.assert_array_equal(got, want)
+
+
+def test_pallas_fps_npoint_one(rng):
+    xyz = jnp.asarray(rng.randn(2, 64, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(pfps.farthest_point_sample(1, xyz))
+    np.testing.assert_array_equal(got, 0)
+
+
+def test_dispatch_backend_override(rng):
+    """ops_backend('jnp') forces the oracle; 'auto' on CPU also uses jnp."""
+    from pointasnl_tpu import ops
+
+    xyz = jnp.asarray(rng.randn(1, 64, 3).astype(np.float32))
+    with ops_backend("jnp"):
+        idx = ops.farthest_point_sample(8, xyz)
+    assert idx.shape == (1, 8)
