@@ -73,6 +73,9 @@ def farthest_point_sample(npoint: int, xyz: jax.Array) -> jax.Array:
     B, N, _ = xyz.shape
     if npoint == 1:
         return jnp.zeros((B, 1), jnp.int32)
+    # FPS has no gradient (the reference registers none, tf_sampling.py:43-47);
+    # cutting the tangent path here keeps the pallas_call out of AD traces.
+    xyz = lax.stop_gradient(xyz)
     npad = _round_up(N, LANE)
     mpad = _round_up(npoint, LANE)
     x = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
