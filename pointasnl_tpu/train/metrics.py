@@ -93,6 +93,51 @@ class IouEval:
         return total_tp / total
 
 
+class JaxIouEval:
+    """On-device streaming IoU evaluator — the TPU-native analog of the
+    reference's torch_ioueval.py (which exists only because numpy was too slow
+    for its viz loop). The confusion accumulation is a single jitted
+    bincount-add per batch; stats come back to host only at readout.
+    """
+
+    def __init__(self, n_classes: int, ignore: Optional[Sequence[int]] = None):
+        self.n_classes = n_classes
+        self.ignore = np.array(ignore if ignore is not None else [], dtype=np.int64)
+        self.include = np.array(
+            [n for n in range(n_classes) if n not in self.ignore], dtype=np.int64
+        )
+        self._update = jax.jit(
+            lambda conf, x, y: conf
+            + confusion_matrix(x, y, self.n_classes).T.astype(jnp.int64)
+        )
+        self.reset()
+
+    def reset(self):
+        self.conf_matrix = jnp.zeros((self.n_classes, self.n_classes), jnp.int64)
+
+    def addBatch(self, x, y):  # x=preds, y=targets; conf[pred, target] convention
+        self.conf_matrix = self._update(self.conf_matrix, jnp.asarray(x), jnp.asarray(y))
+
+    def getStats(self):
+        conf = np.asarray(self.conf_matrix).copy()
+        conf[:, self.ignore] = 0
+        tp = np.diag(conf)
+        fp = conf.sum(axis=1) - tp
+        fn = conf.sum(axis=0) - tp
+        return tp, fp, fn
+
+    def getIoU(self):
+        tp, fp, fn = self.getStats()
+        union = tp + fp + fn + 1e-15
+        iou = tp / union
+        return (tp[self.include] / union[self.include]).mean(), iou
+
+    def getacc(self):
+        tp, fp, fn = self.getStats()
+        total = tp[self.include].sum() + fp[self.include].sum() + 1e-15
+        return tp.sum() / total
+
+
 def metrics_from_confusion(conf: np.ndarray):
     """(PRE, REC, F1, IoU, ACC) from a (…, C, C) confusion (utils/metrics.py:36-71)."""
     conf = np.asarray(conf, dtype=np.float64)

@@ -1,0 +1,71 @@
+"""Profiling / tracing hooks (SURVEY.md §5.1 equivalents).
+
+The reference's tracing story was a vestigial chrome-trace merger (TimeLiner,
+ScanNet/test_scannet_grid.py:53-75) plus manual EMA wall-clock timing. Here:
+
+- `trace(logdir)`: context manager around jax.profiler for device traces
+  viewable in Perfetto/TensorBoard;
+- `StepTimer`: wall-clock EMA step timing with points/sec readout;
+- `annotate(name)`: jax.profiler.TraceAnnotation wrapper so custom spans show
+  in traces.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Optional
+
+import jax
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    """Capture a device trace into logdir (view with TensorBoard/Perfetto)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def annotate(name: str):
+    """Named span that shows up inside device traces."""
+    return jax.profiler.TraceAnnotation(name)
+
+
+class StepTimer:
+    """Wall-clock EMA over train/eval steps (replaces the manual EMA timing in
+    test_scannet_grid.py:126-160)."""
+
+    def __init__(self, ema: float = 0.95, points_per_step: Optional[int] = None):
+        self.ema = ema
+        self.points_per_step = points_per_step
+        self.avg = None
+        self._t0 = None
+        self.steps = 0
+
+    def start(self):
+        self._t0 = time.perf_counter()
+
+    def stop(self) -> float:
+        dt = time.perf_counter() - self._t0
+        self.avg = dt if self.avg is None else self.ema * self.avg + (1 - self.ema) * dt
+        self.steps += 1
+        return dt
+
+    @contextlib.contextmanager
+    def step(self):
+        self.start()
+        try:
+            yield
+        finally:
+            self.stop()
+
+    def summary(self) -> str:
+        if self.avg is None:
+            return "no steps timed"
+        msg = f"avg step {self.avg * 1e3:.2f} ms over {self.steps} steps"
+        if self.points_per_step:
+            msg += f" ({self.points_per_step / self.avg / 1e6:.2f} M points/sec)"
+        return msg
