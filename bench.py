@@ -47,7 +47,7 @@ def main():
     tx = make_optimizer("adam", staircase_lr_schedule(1e-3, batch_size, 200000.0, 0.7))
     state = create_train_state(model, points, tx=tx, rng=jax.random.PRNGKey(0))
     step = make_train_step(
-        bn_schedule=bn_momentum_schedule(batch_size, 200000.0), task="cls", donate=False
+        bn_schedule=bn_momentum_schedule(batch_size, 200000.0), task="cls", donate=True
     )
     key = jax.random.PRNGKey(1)
 
