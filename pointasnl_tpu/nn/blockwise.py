@@ -1,0 +1,131 @@
+"""Blockwise and ring (sequence-parallel) non-local attention.
+
+The (npoint x ndataset) attention map in PointNonLocalCell is the model's only
+quadratic object (utils/pointasnl_util.py:199). The reference sidesteps scale
+by chopping scenes into fixed crops; these utilities are the TPU-native path
+to whole-scene-at-once inference (SURVEY.md §5.7-5.8):
+
+- `blockwise_attention`: online-softmax attention that streams K/V in chunks
+  of `block_size` via lax.scan — O(M * block) memory instead of O(M * N).
+  Numerically identical to dense softmax attention.
+- `ring_attention`: the context-parallel version — K/V sharded over a mesh
+  axis, rotated around the ring with lax.ppermute inside shard_map, each
+  device combining its partial online-softmax stats. Collectives ride ICI;
+  no external comm backend (the NCCL-free design of SURVEY.md §2.9).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def _online_softmax_step(carry, qk_scale, q, k_blk, v_blk):
+    """One online-softmax accumulation step over a K/V block."""
+    m_prev, l_prev, o_prev = carry  # (B,M,1), (B,M,1), (B,M,D)
+    scores = jnp.einsum("bmc,bnc->bmn", q, k_blk) * qk_scale  # (B,M,blk)
+    m_blk = jnp.max(scores, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_blk)
+    p = jnp.exp(scores - m_new)  # (B,M,blk)
+    correction = jnp.exp(m_prev - m_new)
+    l_new = l_prev * correction + jnp.sum(p, axis=-1, keepdims=True)
+    o_new = o_prev * correction + jnp.einsum("bmn,bnd->bmd", p, v_blk)
+    return m_new, l_new, o_new
+
+
+def blockwise_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    block_size: int = 2048,
+    scaled: bool = True,
+) -> jax.Array:
+    """softmax(q k^T / sqrt(d)) v computed in K/V chunks (online softmax).
+
+    q: (B, M, C), k: (B, N, C), v: (B, N, D) -> (B, M, D). N must be a
+    multiple of block_size (pad + mask upstream if not).
+    """
+    B, M, C = q.shape
+    N = k.shape[1]
+    D = v.shape[-1]
+    scale = (1.0 / jnp.sqrt(jnp.float32(C))) if scaled else jnp.float32(1.0)
+    if N <= block_size:
+        attn = jnp.einsum("bmc,bnc->bmn", q, k) * scale
+        attn = jax.nn.softmax(attn, axis=-1)
+        return jnp.einsum("bmn,bnd->bmd", attn, v)
+
+    if N % block_size != 0:
+        raise ValueError(f"N={N} not divisible by block_size={block_size}")
+    nblk = N // block_size
+    k_blocks = k.reshape(B, nblk, block_size, C).swapaxes(0, 1)  # (nblk, B, blk, C)
+    v_blocks = v.reshape(B, nblk, block_size, D).swapaxes(0, 1)
+
+    init = (
+        jnp.full((B, M, 1), -jnp.inf, q.dtype),
+        jnp.zeros((B, M, 1), q.dtype),
+        jnp.zeros((B, M, D), q.dtype),
+    )
+
+    def scan_body(carry, kv):
+        k_blk, v_blk = kv
+        return _online_softmax_step(carry, scale, q, k_blk, v_blk), None
+
+    (m, l, o), _ = lax.scan(scan_body, init, (k_blocks, v_blocks))
+    return o / l
+
+
+def ring_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mesh: Mesh,
+    *,
+    axis: str = "model",
+    scaled: bool = True,
+) -> jax.Array:
+    """Context-parallel attention: K/V sharded over `axis`, rotated by ppermute.
+
+    q: (B, M, C) replicated over `axis`; k: (B, N, C) and v: (B, N, D) sharded
+    on their N dimension. Returns (B, M, D) replicated. Each of the
+    `axis_size` steps attends to the local K/V shard and passes it to the next
+    device on the ring; partial online-softmax stats combine exactly.
+    """
+    shard_map = jax.shard_map
+
+    C = q.shape[-1]
+    scale = (1.0 / jnp.sqrt(jnp.float32(C))) if scaled else jnp.float32(1.0)
+    axis_size = mesh.shape[axis]
+
+    def local_fn(q_loc, k_loc, v_loc):
+        B, M, _ = q_loc.shape
+        D = v_loc.shape[-1]
+        init = (
+            jnp.full((B, M, 1), -jnp.inf, q_loc.dtype),
+            jnp.zeros((B, M, 1), q_loc.dtype),
+            jnp.zeros((B, M, D), q_loc.dtype),
+        )
+        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+        def body(i, state):
+            carry, k_cur, v_cur = state
+            carry = _online_softmax_step(carry, scale, q_loc, k_cur, v_cur)
+            k_nxt = lax.ppermute(k_cur, axis, perm)
+            v_nxt = lax.ppermute(v_cur, axis, perm)
+            return carry, k_nxt, v_nxt
+
+        (m, l, o), _, _ = lax.fori_loop(0, axis_size, body, (init, k_loc, v_loc))
+        return o / l
+
+    return shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None), P(None, axis, None)),
+        out_specs=P(),
+        check_vma=False,
+    )(q, k, v)

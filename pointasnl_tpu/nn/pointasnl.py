@@ -154,6 +154,11 @@ class PointNonLocalCell(nn.Module):
     bn: bool = True
     scaled: bool = True
     mode: str = "dot"
+    # When set (and mode='dot'), attention streams K/V in chunks of this size
+    # with an online softmax — O(M*block) memory instead of the dense
+    # (M x ndataset) map, enabling whole-scene single-pass inference
+    # (SURVEY.md §5.7). Numerically identical to the dense path.
+    kv_block_size: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -169,6 +174,17 @@ class PointNonLocalCell(nn.Module):
         )
         k = kv[..., : self.bottleneck]  # (B, N, bc)
         v = kv[..., self.bottleneck :]  # (B, N, bc)
+
+        if self.mode == "dot" and self.kv_block_size is not None:
+            from pointasnl_tpu.nn.blockwise import blockwise_attention
+
+            out = blockwise_attention(
+                q, k, v, block_size=self.kv_block_size, scaled=self.scaled
+            )
+            out = PointConv(self.out_channels, bn=self.bn, name="conv_back_project")(
+                out, training=training, bn_momentum=bn_momentum
+            )
+            return out
 
         if self.mode == "dot":
             attn = jnp.einsum("bmc,bnc->bmn", q, k)
