@@ -150,6 +150,72 @@ class FullyConnected(nn.Module):
         return x
 
 
+class Conv2DTranspose(nn.Module):
+    """Transposed 2D conv + optional BN/activation — tf_util.conv2d_transpose
+    (:188; dead code in the reference models, provided for API parity)."""
+
+    features: int
+    kernel_size: tuple = (1, 1)
+    strides: tuple = (1, 1)
+    bn: bool = False
+    activation: Optional[Callable[[Array], Array]] = nn.relu
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool, bn_momentum=0.9) -> Array:
+        x = nn.ConvTranspose(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            kernel_init=nn.initializers.xavier_uniform(),
+            use_bias=not self.bn,
+            name="conv",
+        )(x)
+        if self.bn:
+            x = BatchNorm(name="bn")(x, training=training, momentum=bn_momentum)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+class Conv3D(nn.Module):
+    """3D conv + optional BN/activation — tf_util.conv3d (:268; API parity)."""
+
+    features: int
+    kernel_size: tuple = (1, 1, 1)
+    strides: tuple = (1, 1, 1)
+    bn: bool = False
+    activation: Optional[Callable[[Array], Array]] = nn.relu
+
+    @nn.compact
+    def __call__(self, x: Array, *, training: bool, bn_momentum=0.9) -> Array:
+        x = nn.Conv(
+            self.features,
+            self.kernel_size,
+            strides=self.strides,
+            padding="VALID",
+            kernel_init=nn.initializers.xavier_uniform(),
+            use_bias=not self.bn,
+            name="conv",
+        )(x)
+        if self.bn:
+            x = BatchNorm(name="bn")(x, training=training, momentum=bn_momentum)
+        if self.activation is not None:
+            x = self.activation(x)
+        return x
+
+
+def max_pool2d(x: Array, kernel_size, stride=None, padding="VALID") -> Array:
+    """tf_util.max_pool2d (:366) — NHWC max pooling."""
+    stride = stride or kernel_size
+    return nn.max_pool(x, tuple(kernel_size), strides=tuple(stride), padding=padding)
+
+
+def avg_pool2d(x: Array, kernel_size, stride=None, padding="VALID") -> Array:
+    """tf_util.avg_pool2d (:399) — NHWC average pooling."""
+    stride = stride or kernel_size
+    return nn.avg_pool(x, tuple(kernel_size), strides=tuple(stride), padding=padding)
+
+
 class MLP(nn.Module):
     """Stack of PointConvs (a per-point MLP); `last_activation` controls the tail."""
 
