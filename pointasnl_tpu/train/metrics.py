@@ -150,3 +150,19 @@ def metrics_from_confusion(conf: np.ndarray):
     F1 = 2 * TP / (TP_plus_FP + TP_plus_FN + 1e-6)
     IoU = F1 / (2 - F1)
     return PRE, REC, F1, IoU, ACC
+
+
+def smooth_metrics(confusions: np.ndarray, smooth_n: int = 0, ignore_unclassified: bool = False):
+    """Metrics over an epoch axis with +-smooth_n confusion smoothing
+    (utils/metrics.py:73-117)."""
+    confusions = np.asarray(confusions, dtype=np.float64).copy()
+    if ignore_unclassified:
+        confusions[..., 0, :] = 0
+        confusions[..., :, 0] = 0
+    smoothed = confusions.copy()
+    if confusions.ndim > 2 and smooth_n > 0:
+        for epoch in range(confusions.shape[-3]):
+            i0 = max(epoch - smooth_n, 0)
+            i1 = min(epoch + smooth_n + 1, confusions.shape[-3])
+            smoothed[..., epoch, :, :] = np.sum(confusions[..., i0:i1, :, :], axis=-3)
+    return metrics_from_confusion(smoothed)
