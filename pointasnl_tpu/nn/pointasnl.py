@@ -233,6 +233,8 @@ class PointASNLSetAbstraction(nn.Module):
     bn: bool = True
     use_knn: bool = True
     radius: Optional[float] = None
+    # Chunk the non-local K/V axis (whole-scene scale; see PointNonLocalCell).
+    nl_kv_block_size: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -269,6 +271,7 @@ class PointASNLSetAbstraction(nn.Module):
                 bottleneck=max(32, C // 2),
                 out_channels=nl_channel,
                 bn=self.bn,
+                kv_block_size=self.nl_kv_block_size,
                 name="nonlocal",
             )(feature, new_feature, training=training, bn_momentum=bn_momentum)
 
