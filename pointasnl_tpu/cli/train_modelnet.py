@@ -97,8 +97,12 @@ def main(argv=None):
     from pointasnl_tpu.train.state import make_optimizer
     from pointasnl_tpu.utils import Logger, save_args
 
+    from pointasnl_tpu.train.summary import MetricWriter
+
     log = Logger(flags.log_dir)
     save_args(flags, flags.log_dir)
+    train_writer = MetricWriter.create(flags.log_dir, "train", backend="csv")
+    test_writer = MetricWriter.create(flags.log_dir, "test", backend="csv")
     rs = np.random.RandomState(flags.seed)
 
     train_ds = ModelNetDataset(
@@ -175,6 +179,16 @@ def main(argv=None):
             f"acc {total_correct / max(total_seen, 1):.4f} "
             f"({time.time() - t0:.1f}s, lr {float(lr_sched(state.step)):.6f})"
         )
+        train_writer.scalars(
+            {
+                "loss": loss_sum / max(num_batches, 1),
+                "accuracy": total_correct / max(total_seen, 1),
+                "learning_rate": float(lr_sched(state.step)),
+                "bn_decay": float(bn_sched(state.step)),
+            },
+            int(state.step),
+        )
+        train_writer.flush()
 
         # --- eval ---
         total_correct = total_seen = 0
@@ -202,6 +216,10 @@ def main(argv=None):
         acc = total_correct / max(total_seen, 1)
         avg_class_acc = float(np.mean(class_correct / np.maximum(class_seen, 1)))
         log(f"eval accuracy: {acc:.4f} avg class acc: {avg_class_acc:.4f}")
+        test_writer.scalars(
+            {"accuracy": acc, "avg_class_accuracy": avg_class_acc}, int(state.step)
+        )
+        test_writer.flush()
 
         save_checkpoint(state, flags.log_dir, "latest")
         if acc >= best_acc:  # >= so a "best" checkpoint always exists
