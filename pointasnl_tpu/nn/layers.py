@@ -103,16 +103,19 @@ class PointConv(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool, bn_momentum=0.9) -> Array:
+        from pointasnl_tpu.nn import precision
+
+        dtype = self.dtype if self.dtype is not None else precision.current_compute_dtype()
         x = nn.Dense(
             self.features,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
             use_bias=not self.bn,
-            dtype=self.dtype,
+            dtype=dtype,
             name="conv",
         )(x)
         if self.bn:
-            x = BatchNorm(dtype=self.dtype, name="bn")(
+            x = BatchNorm(dtype=dtype, name="bn")(
                 x, training=training, momentum=bn_momentum
             )
         if self.activation is not None:
@@ -133,16 +136,19 @@ class FullyConnected(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, *, training: bool, bn_momentum=0.9) -> Array:
+        from pointasnl_tpu.nn import precision
+
+        dtype = self.dtype if self.dtype is not None else precision.current_compute_dtype()
         x = nn.Dense(
             self.features,
             kernel_init=nn.initializers.xavier_uniform(),
             bias_init=nn.initializers.zeros,
             use_bias=not self.bn,
-            dtype=self.dtype,
+            dtype=dtype,
             name="dense",
         )(x)
         if self.bn:
-            x = BatchNorm(dtype=self.dtype, name="bn")(
+            x = BatchNorm(dtype=dtype, name="bn")(
                 x, training=training, momentum=bn_momentum
             )
         if self.activation is not None:

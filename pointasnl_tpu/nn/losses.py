@@ -21,7 +21,7 @@ Array = jax.Array
 def softmax_cross_entropy(logits: Array, labels: Array) -> Array:
     """Mean sparse softmax CE — tf.nn.sparse_softmax_cross_entropy_with_logits
     + reduce_mean (models/pointasnl_cls.py:60-61)."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
     return jnp.mean(nll)
 
@@ -32,7 +32,7 @@ def weighted_softmax_cross_entropy(logits: Array, labels: Array, weights: Array)
     Matches tf.losses.sparse_softmax_cross_entropy(labels, logits, weights)
     (models/pointasnl_sem_seg.py:61): sum(w * ce) / count_nonzero(w).
     """
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[..., 0]
     num_nonzero = jnp.maximum(jnp.sum((weights != 0).astype(jnp.float32)), 1.0)
     return jnp.sum(nll * weights) / num_nonzero
