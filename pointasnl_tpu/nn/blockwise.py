@@ -16,8 +16,7 @@ to whole-scene-at-once inference (SURVEY.md §5.7-5.8):
 
 from __future__ import annotations
 
-import functools
-from typing import Optional
+
 
 import jax
 import jax.numpy as jnp

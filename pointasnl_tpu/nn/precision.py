@@ -21,7 +21,7 @@ from __future__ import annotations
 import contextlib
 import os
 import threading
-from typing import Optional
+
 
 import jax.numpy as jnp
 

@@ -25,7 +25,6 @@ float32 with HIGHEST matmul precision so top-k ordering is stable.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

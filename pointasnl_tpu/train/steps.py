@@ -9,7 +9,6 @@ automatically (the NCCL-free equivalent of an allreduce, SURVEY.md §2.9).
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Optional
 
 import jax
