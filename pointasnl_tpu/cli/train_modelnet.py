@@ -151,17 +151,25 @@ def main(argv=None):
     best_acc = 0.0
     for epoch in range(max_epoch):
         log(f"**** EPOCH {epoch:03d} ****")
-        # --- train ---
+        # --- train (host augmentation overlapped with device compute) ---
         t0 = time.time()
         total_correct = total_seen = 0
         loss_sum = 0.0
         num_batches = 0
-        while train_ds.has_next_batch():
-            batch_data, batch_label = train_ds.next_batch()
-            batch_data = augment_batch(batch_data, flags, rs)
-            batch_data, batch_label, bsize = pad_batch(
-                batch_data.astype(np.float32), batch_label, flags.batch_size
-            )
+
+        def augmented_batches():
+            while train_ds.has_next_batch():
+                batch_data, batch_label = train_ds.next_batch()
+                batch_data = augment_batch(batch_data, flags, rs)
+                yield pad_batch(
+                    batch_data.astype(np.float32), batch_label, flags.batch_size
+                )
+                if flags.debug:
+                    break
+
+        from pointasnl_tpu.data.grid_pipeline import Prefetcher
+
+        for batch_data, batch_label, bsize in Prefetcher(augmented_batches(), capacity=4):
             state, metrics = train_step(
                 state,
                 {"points": jnp.asarray(batch_data), "labels": jnp.asarray(batch_label)},
@@ -171,8 +179,6 @@ def main(argv=None):
             total_correct += float(metrics["accuracy"]) * flags.batch_size
             total_seen += bsize
             num_batches += 1
-            if flags.debug:
-                break
         train_ds.reset()
         log(
             f"train loss {loss_sum / max(num_batches, 1):.4f} "

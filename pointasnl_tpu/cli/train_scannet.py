@@ -148,15 +148,22 @@ def main(argv=None):
         rs.shuffle(train_idxs)
         num_batches = 1 if flags.debug else len(train_ds) // flags.batch_size
         loss_sum = 0.0
-        for b in range(num_batches):
-            batch_data, batch_label, batch_smpw = get_batch(
-                train_ds, train_idxs, b * flags.batch_size, (b + 1) * flags.batch_size,
-                flags.num_point, feature_channel,
-            )
-            batch_data[:, :, :3] = provider.rotate_point_cloud_z(
-                batch_data[:, :, :3], random_state=rs
-            )
-            batch_data[:, :, :3] = provider.normalize_data(batch_data[:, :, :3])
+
+        def train_batches():
+            for b in range(num_batches):
+                batch_data, batch_label, batch_smpw = get_batch(
+                    train_ds, train_idxs, b * flags.batch_size, (b + 1) * flags.batch_size,
+                    flags.num_point, feature_channel,
+                )
+                batch_data[:, :, :3] = provider.rotate_point_cloud_z(
+                    batch_data[:, :, :3], random_state=rs
+                )
+                batch_data[:, :, :3] = provider.normalize_data(batch_data[:, :, :3])
+                yield batch_data, batch_label, batch_smpw
+
+        from pointasnl_tpu.data.grid_pipeline import Prefetcher
+
+        for batch_data, batch_label, batch_smpw in Prefetcher(train_batches(), capacity=4):
             state, metrics = train_step(
                 state,
                 {

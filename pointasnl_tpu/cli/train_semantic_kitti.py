@@ -139,11 +139,18 @@ def main(argv=None):
         if flags.debug:
             num_batches = 1
         loss_sum = 0.0
-        for b in range(num_batches):
-            bd, bl, bw = get_batch(
-                train_ds, train_idxs, b * flags.batch_size, (b + 1) * flags.batch_size
-            )
-            bd[:, :, :3] = provider.rotate_point_cloud_z(bd[:, :, :3], random_state=rs)
+
+        def train_batches():
+            for b in range(num_batches):
+                bd, bl, bw = get_batch(
+                    train_ds, train_idxs, b * flags.batch_size, (b + 1) * flags.batch_size
+                )
+                bd[:, :, :3] = provider.rotate_point_cloud_z(bd[:, :, :3], random_state=rs)
+                yield bd, bl, bw
+
+        from pointasnl_tpu.data.grid_pipeline import Prefetcher
+
+        for bd, bl, bw in Prefetcher(train_batches(), capacity=4):
             state, metrics = train_step(
                 state,
                 {
