@@ -39,6 +39,12 @@ def parse_args(argv=None):
     p.add_argument("--num_classes", type=int, default=40)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug", action="store_true", help="1 batch per epoch, 2 epochs")
+    p.add_argument(
+        "--dp",
+        action="store_true",
+        help="data-parallel: shard the batch over all local devices (batch_size "
+        "must be divisible by the device count)",
+    )
     return p.parse_args(argv)
 
 
@@ -147,6 +153,23 @@ def main(argv=None):
     eval_step = make_eval_step(task="cls")
     dropout_rng = jax.random.PRNGKey(flags.seed + 1)
 
+    # Optional data parallelism: replicate state, shard each batch over the
+    # 'data' mesh axis; the jitted step then runs SPMD (psum grads, sync-BN).
+    place_batch = jnp.asarray
+    if flags.dp and len(jax.devices()) > 1:
+        from pointasnl_tpu.parallel import batch_sharding, make_mesh, replicate
+
+        mesh = make_mesh()
+        ndev = mesh.devices.size
+        if flags.batch_size % ndev != 0:
+            raise ValueError(f"batch_size {flags.batch_size} not divisible by {ndev} devices")
+        state = replicate(state, mesh)
+        log(f"data-parallel over {ndev} devices")
+
+        def place_batch(x):
+            x = np.asarray(x)
+            return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
     max_epoch = 2 if flags.debug else flags.max_epoch
     best_acc = 0.0
     for epoch in range(max_epoch):
@@ -172,7 +195,7 @@ def main(argv=None):
         for batch_data, batch_label, bsize in Prefetcher(augmented_batches(), capacity=4):
             state, metrics = train_step(
                 state,
-                {"points": jnp.asarray(batch_data), "labels": jnp.asarray(batch_label)},
+                {"points": place_batch(batch_data), "labels": place_batch(batch_label)},
                 dropout_rng,
             )
             loss_sum += float(metrics["loss"])
@@ -207,7 +230,7 @@ def main(argv=None):
             )
             logits, _ = eval_step(
                 state,
-                {"points": jnp.asarray(batch_data), "labels": jnp.asarray(batch_label)},
+                {"points": place_batch(batch_data), "labels": place_batch(batch_label)},
             )
             preds = np.asarray(jnp.argmax(logits, -1))[:bsize]
             labels = batch_label[:bsize]
