@@ -159,6 +159,11 @@ class PointNonLocalCell(nn.Module):
     # (M x ndataset) map, enabling whole-scene single-pass inference
     # (SURVEY.md §5.7). Numerically identical to the dense path.
     kv_block_size: Optional[int] = None
+    # Fused flash-attention Pallas kernel (scores never touch HBM). Off by
+    # default — XLA's own fusion wins at the parity configs' crop sizes; turn
+    # on for whole-scene-scale inference where the dense map's HBM round trip
+    # dominates.
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -181,6 +186,15 @@ class PointNonLocalCell(nn.Module):
             out = blockwise_attention(
                 q, k, v, block_size=self.kv_block_size, scaled=self.scaled
             )
+            out = PointConv(self.out_channels, bn=self.bn, name="conv_back_project")(
+                out, training=training, bn_momentum=bn_momentum
+            )
+            return out
+
+        if self.mode == "dot" and self.use_flash:
+            from pointasnl_tpu.ops.pallas.flash_attention import flash_attention
+
+            out = flash_attention(q, k, v, self.scaled)
             out = PointConv(self.out_channels, bn=self.bn, name="conv_back_project")(
                 out, training=training, bn_momentum=bn_momentum
             )

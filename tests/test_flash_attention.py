@@ -1,0 +1,43 @@
+"""Flash attention kernel (interpret mode) vs dense attention + its gradient."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from pointasnl_tpu.ops.pallas.flash_attention import flash_attention
+from tests.test_blockwise import dense_attention, make_qkv
+
+
+@pytest.mark.parametrize("M,N", [(16, 256), (128, 128), (100, 200)])
+def test_flash_matches_dense(rng, M, N):
+    q, k, v = make_qkv(rng, B=2, M=M, N=N, C=8, D=12)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention(q, k, v))
+    want = np.asarray(dense_attention(q, k, v))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_unscaled(rng):
+    q, k, v = make_qkv(rng, B=1, M=8, N=64, C=4, D=4)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(flash_attention(q, k, v, False))
+    want = np.asarray(dense_attention(q, k, v, scaled=False))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_gradients_match_dense(rng):
+    q, k, v = make_qkv(rng, B=1, M=8, N=64, C=4, D=4)
+
+    def f_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def f_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v) ** 2)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_dense):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
