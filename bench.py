@@ -61,8 +61,27 @@ def main():
         state, metrics = step(state, batch, key)
     jax.block_until_ready(state.params)
     dt = time.perf_counter() - t0
-
     points_per_sec = batch_size * num_point * n_iters / dt
+
+    # Secondary: forward-only (inference) throughput, dependency-chained.
+    @jax.jit
+    def chained_predict(st, pts):
+        logits, _ = st.apply_fn(
+            {"params": st.params, "batch_stats": st.batch_stats},
+            pts,
+            training=False,
+            bn_momentum=0.9,
+        )
+        return pts + logits.sum() * 1e-12
+
+    x = chained_predict(state, points)
+    jax.block_until_ready(x)
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        x = chained_predict(state, x)
+    jax.block_until_ready(x)
+    eval_points_per_sec = batch_size * num_point * n_iters / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -70,6 +89,8 @@ def main():
                 "value": round(points_per_sec, 1),
                 "unit": "points/sec/chip",
                 "vs_baseline": round(points_per_sec / REFERENCE_POINTS_PER_SEC, 3),
+                "eval_points_per_sec_per_chip": round(eval_points_per_sec, 1),
+                "train_step_ms": round(dt / n_iters * 1e3, 3),
             }
         )
     )
