@@ -105,6 +105,66 @@ def test_train_and_test_scannet_grid_cli(synthetic_scannet_grid, tmp_path):
     assert miou is not None and miou >= 0.0
 
 
+def test_scannet_grid_test_split_submission(synthetic_scannet_grid, tmp_path):
+    """The load_test path: test_points/test_meshes -> NYU-id txt submissions."""
+    import numpy as np
+    from pointasnl_tpu.cli import test_scannet_grid, train_scannet_grid
+
+    rng = np.random.RandomState(7)
+    root = synthetic_scannet_grid
+    tp = os.path.join(root, "test_points")
+    tm = os.path.join(root, "test_meshes")
+    os.makedirs(tp, exist_ok=True)
+    os.makedirs(tm, exist_ok=True)
+    scene = "scene0707_00"
+    xyz, rgb, labels, vert_inds = make_scene_cloud(rng, n=1500)
+    write_ply(
+        os.path.join(tp, f"{scene}.ply"),
+        [xyz, rgb, vert_inds],
+        ["x", "y", "z", "red", "green", "blue", "vert_ind"],
+    )
+    faces = rng.randint(0, len(xyz), (30, 3)).astype(np.int32)
+    write_ply(
+        os.path.join(tm, f"{scene}_mesh.ply"),
+        [xyz, rgb],
+        ["x", "y", "z", "red", "green", "blue"],
+        triangular_faces=faces,
+    )
+
+    log_dir = str(tmp_path / "logs")
+    train_scannet_grid.main(
+        [
+            "--data", root,
+            "--log_dir", log_dir,
+            "--batch_size", "2",
+            "--num_point", "512",
+            "--num_buffer", "64",
+            "--debug",
+        ]
+    )
+    dump_dir = str(tmp_path / "dump")
+    test_scannet_grid.main(
+        [
+            "--data", root,
+            "--model_path", log_dir,
+            "--ckpt", "latest",
+            "--dump_dir", dump_dir,
+            "--split", "test",
+            "--num_votes", "0.001",
+            "--max_rounds", "1",
+            "--batch_size", "2",
+        ]
+    )
+    import glob
+
+    dumps = glob.glob(os.path.join(dump_dir, "*", f"{scene}.txt"))
+    assert len(dumps) == 1
+    preds = np.loadtxt(dumps[0], dtype=int)
+    assert preds.shape[0] == 1500  # one NYU id per mesh vertex
+    valid_nyu = {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39}
+    assert set(np.unique(preds)).issubset(valid_nyu)
+
+
 @pytest.fixture(scope="module")
 def synthetic_kitti_raw(tmp_path_factory):
     rng = np.random.RandomState(1)
