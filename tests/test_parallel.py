@@ -75,6 +75,32 @@ def test_dp_train_step_8way(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), rtol=2e-3, atol=2e-5)
 
 
+def test_dp_seg_task_8way(rng):
+    """Segmentation (weighted CE + repulsion) DP step == single-device step."""
+    from pointasnl_tpu.models import PointASNLSemSeg
+
+    mesh = make_mesh()
+    b, n = 8, 512
+    x = rng.randn(b, n, 3).astype(np.float32)
+    labels = rng.randint(0, 21, (b, n))
+    smpw = np.ones((b, n), np.float32)
+
+    model = PointASNLSemSeg(num_class=21)
+    tx = make_optimizer("adam", staircase_lr_schedule(1e-3, b, 2e5, 0.7))
+    state = create_train_state(model, jnp.asarray(x[:1]), tx=tx, rng=jax.random.PRNGKey(0))
+    step = make_train_step(
+        bn_schedule=bn_momentum_schedule(b, 2e5), task="seg", uniform_weight=0.01, donate=False
+    )
+    batch = {"points": jnp.asarray(x), "labels": jnp.asarray(labels), "smpw": jnp.asarray(smpw)}
+
+    _, m1 = step(state, batch, jax.random.PRNGKey(5))
+    _, m8 = step(replicate(state, mesh), shard_batch(batch, mesh), jax.random.PRNGKey(5))
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=5e-4)
+    np.testing.assert_allclose(
+        float(m1["uniform_loss"]), float(m8["uniform_loss"]), rtol=5e-4
+    )
+
+
 def test_dp_multiple_steps_converge(rng):
     mesh = make_mesh()
     b, n = 8, 128
