@@ -20,6 +20,7 @@ import os
 import threading
 
 import jax
+import jax.numpy as jnp
 
 from pointasnl_tpu.ops import geometry as _g
 
@@ -123,8 +124,6 @@ def sampling(npoint, pts, feature=None):
 
 def grouping(feature, k, src_xyz, q_xyz, *, use_xyz=True, use_knn=True, radius=0.2):
     """Neighborhood grouping (see geometry.grouping); kNN goes through dispatch."""
-    import jax.numpy as jnp
-
     if use_knn:
         _, idx = knn_point(k, src_xyz, q_xyz)
     else:
