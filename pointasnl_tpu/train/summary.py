@@ -35,6 +35,14 @@ class CsvMetricWriter:
         for k, v in metrics.items():
             self.scalar(k, v, step)
 
+    def histogram(self, name: str, values, step: int, bins: int = 30):
+        """Summarized as quantile scalars (csv backend has no histogram type)."""
+        import numpy as np
+
+        v = np.asarray(values).ravel()
+        for q in (0, 25, 50, 75, 100):
+            self.scalar(f"{name}_p{q}", float(np.percentile(v, q)), step)
+
     def flush(self):
         self._fh.flush()
 
@@ -54,6 +62,11 @@ class TensorBoardMetricWriter:
     def scalars(self, metrics: Dict[str, Number], step: int):
         for k, v in metrics.items():
             self.scalar(k, v, step)
+
+    def histogram(self, name: str, values, step: int, bins: int = 30):
+        """Full histograms (e.g. the reference's ball-query count histogram,
+        pointasnl_util.py:364)."""
+        self._w.histogram(name, values, int(step), bins=bins)
 
     def flush(self):
         self._w.flush()
