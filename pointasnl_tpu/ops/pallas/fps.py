@@ -57,7 +57,11 @@ def _fps_kernel(x_ref, idx_ref, *, npoint: int, n_real: int):
         diff = xyz - p
         d = jnp.sum(diff * diff, axis=0, keepdims=True)  # (1, Np)
         min_dist = jnp.minimum(min_dist, d)
-        nxt = jnp.argmax(min_dist, axis=1).astype(jnp.int32).reshape(1, 1)
+        # argmax as max + first-matching-lane (Mosaic's argmax lowering
+        # fails at some shapes; this uses only max/min reductions + select)
+        mx = jnp.max(min_dist, axis=1, keepdims=True)  # (1, 1)
+        cand = jnp.where(min_dist == mx, lane_ids, jnp.int32(npad))
+        nxt = jnp.min(cand, axis=1, keepdims=True)  # first max index
         idxs = jnp.where(out_lane_ids == j, nxt, idxs)
         return nxt, min_dist, idxs
 
