@@ -26,6 +26,14 @@ def make_mesh(
     """Build a device mesh. Default: all local devices on one 'data' axis."""
     devices = jax.devices()
     n = num_devices or len(devices)
+    if len(devices) < n:
+        raise RuntimeError(
+            f"make_mesh: asked for {n} devices but the initialized "
+            f"'{devices[0].platform}' backend exposes only {len(devices)}. "
+            "For virtual-device testing, force the CPU platform with "
+            "n host devices BEFORE any backend init (see tests/conftest.py), "
+            "or call __graft_entry__.dryrun_multichip which self-provisions."
+        )
     devices = devices[:n]
     if shape is None:
         shape = (n,) + (1,) * (len(axis_names) - 1)
