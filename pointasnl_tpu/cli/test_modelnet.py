@@ -23,7 +23,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("test_modelnet")
     p.add_argument("--data", default="data/modelnet40_normal_resampled")
     p.add_argument("--log_dir", default="logs/modelnet_cls", help="checkpoint dir")
-    p.add_argument("--ckpt", default="best", choices=["best", "latest"])
+    p.add_argument(
+        "--ckpt", default="best",
+        help="checkpoint to restore: best, latest, or an epoch number",
+    )
     p.add_argument("--model", default="pointasnl_cls")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--num_point", type=int, default=1024)

@@ -29,7 +29,10 @@ def parse_args(argv=None):
     p.add_argument("--batch_size", type=int, default=6)
     p.add_argument("--num_point", type=int, default=8192)
     p.add_argument("--model_path", required=True, help="checkpoint dir (containing best/latest)")
-    p.add_argument("--ckpt", default="best", choices=["best", "latest"])
+    p.add_argument(
+        "--ckpt", default="best",
+        help="checkpoint to restore: best, latest, or an epoch number",
+    )
     p.add_argument("--dump_dir", default="logs/dump/")
     p.add_argument("--num_votes", type=int, default=10)
     p.add_argument("--with_rgb", type=str2bool, default=True)

@@ -23,7 +23,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("test_scannet_grid")
     p.add_argument("--data", default="data/Scannet")
     p.add_argument("--model_path", required=True, help="train log dir (args.txt + ckpts)")
-    p.add_argument("--ckpt", default="best", choices=["best", "latest"])
+    p.add_argument(
+        "--ckpt", default="best",
+        help="checkpoint to restore: best, latest, or an epoch number",
+    )
     p.add_argument("--dump_dir", default="logs/scannet_grid_dump/")
     p.add_argument("--num_votes", type=float, default=10.0)
     p.add_argument("--split", default="validation", choices=["validation", "test"])

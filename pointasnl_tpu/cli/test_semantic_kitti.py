@@ -26,7 +26,10 @@ def parse_args(argv=None):
     p.add_argument("--data", default="data/kitti/dataset/")
     p.add_argument("--model", default="pointasnl_sem_seg")
     p.add_argument("--model_path", required=True, help="checkpoint dir")
-    p.add_argument("--ckpt", default="best", choices=["best", "latest"])
+    p.add_argument(
+        "--ckpt", default="best",
+        help="checkpoint to restore: best, latest, or an epoch number",
+    )
     p.add_argument("--dump_dir", default="logs/kitti_dump/")
     p.add_argument("--save_dir", default="logs/kitti_pred/")
     p.add_argument("--batch_size", type=int, default=6)

@@ -20,7 +20,10 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("test_semantic_kitti_grid")
     p.add_argument("--data", default="data/semantic_kitti/dataset/sequences")
     p.add_argument("--model_path", required=True, help="train log dir (args.txt + ckpts)")
-    p.add_argument("--ckpt", default="best", choices=["best", "latest"])
+    p.add_argument(
+        "--ckpt", default="best",
+        help="checkpoint to restore: best, latest, or an epoch number",
+    )
     p.add_argument("--save_dir", default="logs/kitti_grid_pred/")
     p.add_argument("--test_id", type=int, default=14, help="sequence to test (8=valid)")
     p.add_argument("--num_votes", type=float, default=4.0)

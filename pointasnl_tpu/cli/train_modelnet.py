@@ -32,6 +32,10 @@ def parse_args(argv=None):
     p.add_argument("--momentum", type=float, default=0.9)
     p.add_argument("--decay_step", type=int, default=200000)
     p.add_argument("--decay_rate", type=float, default=0.7)
+    p.add_argument(
+        "--max_to_keep", type=int, default=100,
+        help="retained epoch-numbered checkpoints (<=0 keeps all)",
+    )
     p.add_argument("--AS", action="store_true", help="adaptive sampling")
     p.add_argument("--normal", action="store_true", help="use normals as features")
     p.add_argument("--rotation", action="store_true", help="rotation augmentation")
@@ -96,9 +100,9 @@ def main(argv=None):
         staircase_lr_schedule,
     )
     from pointasnl_tpu.train.checkpoint import (
+        CheckpointManager,
         checkpoint_exists,
         restore_checkpoint,
-        save_checkpoint,
     )
     from pointasnl_tpu.train.state import make_optimizer
     from pointasnl_tpu.utils import Logger, save_args
@@ -171,6 +175,10 @@ def main(argv=None):
             return jax.device_put(x, batch_sharding(mesh, x.ndim))
 
     max_epoch = 2 if flags.debug else flags.max_epoch
+    ckpt_mgr = CheckpointManager(
+        flags.log_dir,
+        max_to_keep=flags.max_to_keep if flags.max_to_keep > 0 else None,
+    )
     best_acc = 0.0
     for epoch in range(max_epoch):
         log(f"**** EPOCH {epoch:03d} ****")
@@ -250,11 +258,11 @@ def main(argv=None):
         )
         test_writer.flush()
 
-        save_checkpoint(state, flags.log_dir, "latest")
-        if acc >= best_acc:  # >= so a "best" checkpoint always exists
+        is_best = acc >= best_acc  # >= so a "best" checkpoint always exists
+        if is_best:
             best_acc = acc
-            save_checkpoint(state, flags.log_dir, "best")
             log(f"new best accuracy: {best_acc:.4f}")
+        ckpt_mgr.save(state, epoch, is_best=is_best)
     log(f"done; best eval accuracy {best_acc:.4f}")
     return best_acc
 

@@ -43,6 +43,10 @@ def parse_args(argv=None):
     p.add_argument("--num_classes", type=int, default=21)
     p.add_argument("--whole_eval_start", type=int, default=500)
     p.add_argument("--whole_eval_gap", type=int, default=10)
+    p.add_argument(
+        "--max_to_keep", type=int, default=100,
+        help="retained epoch-numbered checkpoints (<=0 keeps all)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug", action="store_true")
     return p.parse_args(argv)
@@ -78,9 +82,9 @@ def main(argv=None):
         staircase_lr_schedule,
     )
     from pointasnl_tpu.train.checkpoint import (
+        CheckpointManager,
         checkpoint_exists,
         restore_checkpoint,
-        save_checkpoint,
     )
     from pointasnl_tpu.train.state import make_optimizer
     from pointasnl_tpu.utils import Logger, save_args
@@ -137,6 +141,10 @@ def main(argv=None):
         preds = np.asarray(jnp.argmax(logits, -1))[:bsize]
         acc.update(preds, batch_label[:bsize], batch_smpw[:bsize])
 
+    ckpt_mgr = CheckpointManager(
+        flags.log_dir,
+        max_to_keep=flags.max_to_keep if flags.max_to_keep > 0 else None,
+    )
     best_iou = 0.0
     best_whole_iou = 0.0
     max_epoch = 2 if flags.debug else flags.max_epoch
@@ -228,11 +236,11 @@ def main(argv=None):
                 log(f"  class {SEG_LABEL_TO_CAT[l]:<16s} IoU: {per_class[l]:.3f}")
 
         best_iou = max(best_iou, iou)
-        if whole_iou >= best_whole_iou and whole_iou > 0:
+        is_best = whole_iou >= best_whole_iou and whole_iou > 0
+        if is_best:
             best_whole_iou = whole_iou
-            save_checkpoint(state, flags.log_dir, "best")
             log(f"new best whole-scene mIoU: {best_whole_iou:.5f}")
-        save_checkpoint(state, flags.log_dir, "latest")
+        ckpt_mgr.save(state, epoch, is_best=is_best)
         log(f"Best chopped mIoU: {best_iou:.5f}")
         if best_whole_iou > 0:
             log(f"Best whole-scene mIoU: {best_whole_iou:.5f}")

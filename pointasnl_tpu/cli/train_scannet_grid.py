@@ -41,6 +41,10 @@ def parse_args(argv=None):
     p.add_argument("--optimizer", default="adam", choices=["adam", "momentum"])
     p.add_argument("--decay_step", type=int, default=400000)
     p.add_argument("--decay_rate", type=float, default=0.5)
+    p.add_argument(
+        "--max_to_keep", type=int, default=100,
+        help="retained epoch-numbered checkpoints (<=0 keeps all)",
+    )
     p.add_argument("--with_rgb", type=str2bool, default=True)
     p.add_argument("--input_threads", type=int, default=8)
     p.add_argument("--first_subsampling_dl", type=float, default=0.04)
@@ -132,9 +136,9 @@ def main(argv=None):
         staircase_lr_schedule,
     )
     from pointasnl_tpu.train.checkpoint import (
+        CheckpointManager,
         checkpoint_exists,
         restore_checkpoint,
-        save_checkpoint,
     )
     from pointasnl_tpu.train.state import make_optimizer
     from pointasnl_tpu.train.steps import make_predict_step
@@ -207,6 +211,10 @@ def main(argv=None):
                 )
                 i += 1
 
+    ckpt_mgr = CheckpointManager(
+        flags.log_dir,
+        max_to_keep=flags.max_to_keep if flags.max_to_keep > 0 else None,
+    )
     best_vote_iou = 0.0
     val_smooth = 0.95
     for epoch in range(flags.from_epoch, flags.max_epoch):
@@ -252,16 +260,18 @@ def main(argv=None):
             )
             log(f"Eval point avg class IoU: {miou:.3f}")
 
+            is_best = False
             if epoch % flags.snapshot_gap == 0:
                 log("---- VOTING EVALUATION ----")
                 vote_iou = vote_projection_eval(dataset, validation_probs, num_classes, log)
                 log(f"Eval voting avg class IoU: {vote_iou:.3f}")
                 if vote_iou >= best_vote_iou:
                     best_vote_iou = vote_iou
-                    save_checkpoint(state, flags.log_dir, "best")
+                    is_best = True
                     log(f"new best voting mIoU: {best_vote_iou:.3f}")
-
-        save_checkpoint(state, flags.log_dir, "latest")
+            ckpt_mgr.save(state, epoch, is_best=is_best)
+        else:
+            ckpt_mgr.save(state, epoch)
     return best_vote_iou
 
 

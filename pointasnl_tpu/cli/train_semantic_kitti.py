@@ -39,6 +39,10 @@ def parse_args(argv=None):
     p.add_argument("--optimizer", default="adam", choices=["adam", "momentum"])
     p.add_argument("--decay_step", type=int, default=200000)
     p.add_argument("--decay_rate", type=float, default=0.7)
+    p.add_argument(
+        "--max_to_keep", type=int, default=100,
+        help="retained epoch-numbered checkpoints (<=0 keeps all)",
+    )
     p.add_argument("--with_remission", action="store_true")
     p.add_argument("--config_file", default=None, help="external semantic-kitti.yaml")
     p.add_argument("--num_classes", type=int, default=20)
@@ -65,9 +69,9 @@ def main(argv=None):
         staircase_lr_schedule,
     )
     from pointasnl_tpu.train.checkpoint import (
+        CheckpointManager,
         checkpoint_exists,
         restore_checkpoint,
-        save_checkpoint,
     )
     from pointasnl_tpu.train.state import make_optimizer
     from pointasnl_tpu.utils import Logger, save_args
@@ -126,6 +130,10 @@ def main(argv=None):
             bd[i], bl[i], bw[i] = ps, seg, smpw
         return bd, bl, bw
 
+    ckpt_mgr = CheckpointManager(
+        flags.log_dir,
+        max_to_keep=flags.max_to_keep if flags.max_to_keep > 0 else None,
+    )
     best_iou = 0.0
     max_epoch = 2 if flags.debug else flags.max_epoch
     for epoch in range(max_epoch):
@@ -185,11 +193,11 @@ def main(argv=None):
         iou = acc.miou()
         log(f"eval point avg class IoU: {iou:.5f} acc: {acc.accuracy():.5f}")
 
-        save_checkpoint(state, flags.log_dir, "latest")
-        if iou >= best_iou:
+        is_best = iou >= best_iou
+        if is_best:
             best_iou = iou
-            save_checkpoint(state, flags.log_dir, "best")
             log(f"new best mIoU: {best_iou:.5f}")
+        ckpt_mgr.save(state, epoch, is_best=is_best)
     return best_iou
 
 

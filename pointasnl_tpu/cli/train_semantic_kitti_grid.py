@@ -35,6 +35,10 @@ def parse_args(argv=None):
     p.add_argument("--optimizer", default="adam", choices=["adam", "momentum"])
     p.add_argument("--decay_step", type=int, default=200000)
     p.add_argument("--decay_rate", type=float, default=0.7)
+    p.add_argument(
+        "--max_to_keep", type=int, default=100,
+        help="retained epoch-numbered checkpoints (<=0 keeps all)",
+    )
     p.add_argument("--input_threads", type=int, default=8)
     p.add_argument("--first_subsampling_dl", type=float, default=0.06)
     p.add_argument("--prepare_data", action="store_true")
@@ -88,9 +92,9 @@ def main(argv=None):
         staircase_lr_schedule,
     )
     from pointasnl_tpu.train.checkpoint import (
+        CheckpointManager,
         checkpoint_exists,
         restore_checkpoint,
-        save_checkpoint,
     )
     from pointasnl_tpu.train.state import make_optimizer
     from pointasnl_tpu.train.steps import make_predict_step
@@ -133,6 +137,10 @@ def main(argv=None):
     predict = make_predict_step()
     dropout_rng = jax.random.PRNGKey(flags.seed + 1)
 
+    ckpt_mgr = CheckpointManager(
+        flags.log_dir,
+        max_to_keep=flags.max_to_keep if flags.max_to_keep > 0 else None,
+    )
     best_iou = 0.0
     max_steps = 2 if flags.debug else (flags.steps_per_epoch or 10**9)
     max_eval = 2 if flags.debug else (flags.eval_steps or 10**9)
@@ -176,11 +184,11 @@ def main(argv=None):
         miou = crop_confusion_miou(dataset, predictions, targets, num_classes, log)
         log(f"Eval point avg class IoU: {miou:.3f}")
 
-        save_checkpoint(state, flags.log_dir, "latest")
-        if miou >= best_iou:
+        is_best = miou >= best_iou
+        if is_best:
             best_iou = miou
-            save_checkpoint(state, flags.log_dir, "best")
             log(f"new best mIoU: {best_iou:.3f}")
+        ckpt_mgr.save(state, epoch, is_best=is_best)
     return best_iou
 
 

@@ -1,7 +1,9 @@
 """Training subsystem: state, schedules, steps, checkpointing, metrics."""
 
 from pointasnl_tpu.train.checkpoint import (
+    CheckpointManager,
     checkpoint_exists,
+    list_epochs,
     restore_checkpoint,
     save_checkpoint,
 )
@@ -11,6 +13,7 @@ from pointasnl_tpu.train.state import TrainState, create_train_state, make_optim
 from pointasnl_tpu.train.steps import make_eval_step, make_predict_step, make_train_step
 
 __all__ = [
+    "CheckpointManager",
     "IoU_from_confusions",
     "IouEval",
     "JaxIouEval",
@@ -22,6 +25,7 @@ __all__ = [
     "make_optimizer",
     "make_predict_step",
     "make_train_step",
+    "list_epochs",
     "restore_checkpoint",
     "save_checkpoint",
     "staircase_lr_schedule",
