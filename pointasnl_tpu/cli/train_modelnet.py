@@ -44,6 +44,11 @@ def parse_args(argv=None):
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug", action="store_true", help="1 batch per epoch, 2 epochs")
     p.add_argument(
+        "--profile", action="store_true",
+        help="trace the first train steps of epoch 0 into <log_dir>/profile "
+        "(view with Perfetto/TensorBoard)",
+    )
+    p.add_argument(
         "--dp",
         action="store_true",
         help="data-parallel: shard the batch over all local devices (batch_size "
@@ -199,17 +204,37 @@ def main(argv=None):
                     break
 
         from pointasnl_tpu.data.grid_pipeline import Prefetcher
+        from pointasnl_tpu.train.profiling import start_trace, stop_trace
 
-        for batch_data, batch_label, bsize in Prefetcher(augmented_batches(), capacity=4):
-            state, metrics = train_step(
-                state,
-                {"points": place_batch(batch_data), "labels": place_batch(batch_label)},
-                dropout_rng,
-            )
-            loss_sum += float(metrics["loss"])
-            total_correct += float(metrics["accuracy"]) * flags.batch_size
-            total_seen += bsize
-            num_batches += 1
+        profile_this_epoch = flags.profile and epoch == 0
+        profile_steps = 5
+        tracing = False
+        try:
+            for batch_data, batch_label, bsize in Prefetcher(
+                augmented_batches(), capacity=4
+            ):
+                if profile_this_epoch and num_batches == 0:
+                    start_trace(os.path.join(flags.log_dir, "profile"))
+                    tracing = True
+                state, metrics = train_step(
+                    state,
+                    {"points": place_batch(batch_data), "labels": place_batch(batch_label)},
+                    dropout_rng,
+                )
+                loss_sum += float(metrics["loss"])
+                total_correct += float(metrics["accuracy"]) * flags.batch_size
+                total_seen += bsize
+                num_batches += 1
+                if tracing and num_batches >= profile_steps:
+                    jax.block_until_ready(state.params)
+                    stop_trace()
+                    tracing = False
+                    log(f"profile trace written to {flags.log_dir}/profile")
+        finally:
+            if tracing:
+                jax.block_until_ready(state.params)
+                stop_trace()
+                log(f"profile trace written to {flags.log_dir}/profile")
         train_ds.reset()
         log(
             f"train loss {loss_sum / max(num_batches, 1):.4f} "

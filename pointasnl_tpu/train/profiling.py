@@ -29,6 +29,15 @@ def trace(logdir: str):
         jax.profiler.stop_trace()
 
 
+def start_trace(logdir: str) -> None:
+    """Begin a device trace (non-contextmanager form for loop windows)."""
+    jax.profiler.start_trace(logdir)
+
+
+def stop_trace() -> None:
+    jax.profiler.stop_trace()
+
+
 def annotate(name: str):
     """Named span that shows up inside device traces."""
     return jax.profiler.TraceAnnotation(name)
