@@ -1,17 +1,24 @@
-"""Benchmark: end-to-end training throughput of the flagship config.
+"""Benchmark: end-to-end training throughput of the flagship configs.
 
-Runs the jitted ModelNet40 classification train step (pointasnl_cls with
-adaptive sampling, B=16, N=1024 — the reference's training config,
-train.py:18-35) on the available accelerator and reports points/sec/chip.
+Runs the jitted train step on the available accelerator for:
+  - modelnet40_cls: pointasnl_cls + AS, B=16, N=1024 (reference train.py:18-35)
+  - scannet_seg_res: pointasnl_sem_seg_res, B=4, N=10240 (reference
+    ScanNet grid recipe, README.md:80-84)
+each in float32 and bfloat16 compute, reporting points/sec/chip, step time,
+and MFU (XLA cost-analysis FLOPs / step time / chip peak).
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+Prints ONE JSON line. The primary metric stays the cls-train throughput for
+round-over-round comparability; all four runs are in "entries".
 
-Baseline note: the reference publishes no throughput numbers (SURVEY.md §6);
-BASELINE.md sets our measured points/sec/chip as the number to establish.
-vs_baseline is measured against a conservative estimate of the TF1+CUDA10
-single-GPU reference step time for this config (~0.30 s/step for B=16,
-dominated by the per-layer host kNN round trips), i.e. ~54.6k points/sec.
+Baseline note: the reference publishes no throughput numbers (SURVEY.md §6)
+— accuracy only. "vs_baseline" is therefore measured against an ESTIMATE
+(flagged in the output): ~0.30 s/step for the TF1+CUDA10 single-GPU cls
+config, dominated by its per-layer host kNN round trips (tf.py_func at
+/root/reference/utils/pointasnl_util.py:62). Treat it as an order-of-
+magnitude anchor, not a measurement.
+
+MFU note: the denominator is the chip's bf16 MXU peak for both precisions —
+XLA's default f32 matmul path on TPU also runs through bf16 MXU passes.
 """
 
 from __future__ import annotations
@@ -21,14 +28,38 @@ import time
 
 import numpy as np
 
-REFERENCE_POINTS_PER_SEC = 16 * 1024 / 0.30  # ≈54,613 — see module docstring
+BASELINE_ESTIMATE_POINTS_PER_SEC = 16 * 1024 / 0.30  # ≈54,613 — see docstring
+
+# Chip peak dense-matmul FLOP/s (bf16 MXU) by jax device_kind.
+PEAK_FLOPS_BF16 = {
+    "TPU v4": 275e12,
+    "TPU v5 lite": 197e12,  # v5e
+    "TPU v5e": 197e12,
+    "TPU v5": 459e12,  # v5p
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,  # v6e / Trillium
+    "TPU v6e": 918e12,
+}
 
 
-def main():
+def _flops_of(compiled) -> float | None:
+    try:
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0]
+        f = cost.get("flops")
+        return float(f) if f and f > 0 else None
+    except Exception:
+        return None
+
+
+def bench_one(name: str, task: str, batch_size: int, num_point: int, dtype: str,
+              n_iters: int = 20) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from pointasnl_tpu.models import PointASNLCls
+    from pointasnl_tpu.models import PointASNLCls, PointASNLSemSegRes
+    from pointasnl_tpu.nn import precision
     from pointasnl_tpu.train import (
         bn_momentum_schedule,
         create_train_state,
@@ -37,33 +68,85 @@ def main():
     )
     from pointasnl_tpu.train.state import make_optimizer
 
-    batch_size, num_point = 16, 1024
     rng = np.random.RandomState(0)
     points = jnp.asarray(rng.randn(batch_size, num_point, 3).astype(np.float32))
-    labels = jnp.asarray(rng.randint(0, 40, size=(batch_size,)))
-    batch = {"points": points, "labels": labels}
+    if task == "cls":
+        batch = {
+            "points": points,
+            "labels": jnp.asarray(rng.randint(0, 40, size=(batch_size,))),
+        }
+    else:
+        batch = {
+            "points": points,
+            "labels": jnp.asarray(rng.randint(0, 21, size=(batch_size, num_point))),
+            "smpw": jnp.ones((batch_size, num_point), jnp.float32),
+        }
 
+    with precision.compute_dtype(dtype):
+        if task == "cls":
+            model = PointASNLCls(num_class=40, adaptive_sample=True)
+        else:
+            model = PointASNLSemSegRes(num_class=21)
+        tx = make_optimizer(
+            "adam", staircase_lr_schedule(1e-3, batch_size, 200000.0, 0.7)
+        )
+        state = create_train_state(model, points, tx=tx, rng=jax.random.PRNGKey(0))
+        step = make_train_step(
+            bn_schedule=bn_momentum_schedule(batch_size, 200000.0),
+            task=task,
+            donate=True,
+        )
+        key = jax.random.PRNGKey(1)
+
+        flops = _flops_of(step.lower(state, batch, key).compile())
+
+        # Warmup / compile.
+        state, _ = step(state, batch, key)
+        jax.block_until_ready(state.params)
+
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            state, _ = step(state, batch, key)
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / n_iters
+
+    peak = PEAK_FLOPS_BF16.get(jax.devices()[0].device_kind)
+    return {
+        "config": name,
+        "dtype": dtype,
+        "batch_size": batch_size,
+        "num_point": num_point,
+        "points_per_sec_per_chip": round(batch_size * num_point / dt, 1),
+        "train_step_ms": round(dt * 1e3, 3),
+        "flops_per_step": flops,
+        "mfu": round(flops / dt / peak, 4) if (flops and peak) else None,
+    }
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    entries = [
+        bench_one("modelnet40_cls", "cls", 16, 1024, "float32"),
+        bench_one("modelnet40_cls", "cls", 16, 1024, "bfloat16"),
+        bench_one("scannet_seg_res", "seg", 4, 10240, "float32"),
+        bench_one("scannet_seg_res", "seg", 4, 10240, "bfloat16"),
+    ]
+    primary = entries[0]
+
+    # Forward-only (inference) throughput on the cls config,
+    # dependency-chained so the tunnel cannot overlap dispatches.
+    from pointasnl_tpu.models import PointASNLCls
+    from pointasnl_tpu.train import create_train_state, staircase_lr_schedule
+    from pointasnl_tpu.train.state import make_optimizer
+
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(rng.randn(16, 1024, 3).astype(np.float32))
     model = PointASNLCls(num_class=40, adaptive_sample=True)
-    tx = make_optimizer("adam", staircase_lr_schedule(1e-3, batch_size, 200000.0, 0.7))
+    tx = make_optimizer("adam", staircase_lr_schedule(1e-3, 16, 200000.0, 0.7))
     state = create_train_state(model, points, tx=tx, rng=jax.random.PRNGKey(0))
-    step = make_train_step(
-        bn_schedule=bn_momentum_schedule(batch_size, 200000.0), task="cls", donate=True
-    )
-    key = jax.random.PRNGKey(1)
 
-    # Warmup / compile.
-    state, _ = step(state, batch, key)
-    jax.block_until_ready(state.params)
-
-    n_iters = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        state, metrics = step(state, batch, key)
-    jax.block_until_ready(state.params)
-    dt = time.perf_counter() - t0
-    points_per_sec = batch_size * num_point * n_iters / dt
-
-    # Secondary: forward-only (inference) throughput, dependency-chained.
     @jax.jit
     def chained_predict(st, pts):
         logits, _ = st.apply_fn(
@@ -76,21 +159,32 @@ def main():
 
     x = chained_predict(state, points)
     jax.block_until_ready(x)
+    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         x = chained_predict(state, x)
     jax.block_until_ready(x)
-    eval_points_per_sec = batch_size * num_point * n_iters / (time.perf_counter() - t0)
+    eval_pps = 16 * 1024 * n_iters / (time.perf_counter() - t0)
 
     print(
         json.dumps(
             {
                 "metric": "modelnet40_cls_train_points_per_sec_per_chip",
-                "value": round(points_per_sec, 1),
+                "value": primary["points_per_sec_per_chip"],
                 "unit": "points/sec/chip",
-                "vs_baseline": round(points_per_sec / REFERENCE_POINTS_PER_SEC, 3),
-                "eval_points_per_sec_per_chip": round(eval_points_per_sec, 1),
-                "train_step_ms": round(dt / n_iters * 1e3, 3),
+                "vs_baseline": round(
+                    primary["points_per_sec_per_chip"]
+                    / BASELINE_ESTIMATE_POINTS_PER_SEC,
+                    3,
+                ),
+                "baseline_is_estimate": True,
+                "baseline_note": (
+                    "reference publishes no throughput; baseline is an "
+                    "estimated 0.30 s/step for the TF1+CUDA10 cls config"
+                ),
+                "device_kind": jax.devices()[0].device_kind,
+                "eval_points_per_sec_per_chip": round(eval_pps, 1),
+                "entries": entries,
             }
         )
     )

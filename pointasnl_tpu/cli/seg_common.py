@@ -86,3 +86,31 @@ def str2bool(v) -> bool:
     if isinstance(v, bool):
         return v
     return str(v).lower() in ("true", "1", "yes")
+
+
+def add_nl_args(p) -> None:
+    """Attach the whole-scene non-local attention flags (SURVEY.md §5.7)."""
+    p.add_argument(
+        "--nl_block_size", type=int, default=0,
+        help="chunk the non-local K/V axis with an online softmax "
+        "(0 = dense attention map; >0 enables whole-scene-scale memory)",
+    )
+    p.add_argument(
+        "--nl_flash", type=str2bool, default=False,
+        help="use the fused flash-attention Pallas kernel in the NL cell",
+    )
+
+
+def nl_kwargs(args_or_flags) -> dict:
+    """Model kwargs for the NL attention controls, from flags or an args.txt
+    dict (so testers reconstruct exactly what was trained)."""
+    if isinstance(args_or_flags, dict):
+        get = args_or_flags.get
+    else:
+        def get(k, d=None):
+            return getattr(args_or_flags, k, d)
+    blk = int(get("nl_block_size", 0) or 0)
+    return {
+        "nl_kv_block_size": blk if blk > 0 else None,
+        "nl_use_flash": bool(get("nl_flash", False)),
+    }

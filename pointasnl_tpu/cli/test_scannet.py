@@ -16,7 +16,13 @@ from datetime import datetime
 
 import numpy as np
 
-from pointasnl_tpu.cli.seg_common import SegEvalAccumulator, add_vote, str2bool
+from pointasnl_tpu.cli.seg_common import (
+    SegEvalAccumulator,
+    add_nl_args,
+    add_vote,
+    nl_kwargs,
+    str2bool,
+)
 
 # 21-class training ids -> NYU40 ids (prepare_scannet.py:13)
 TEST_CLASS = np.array([0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 14, 16, 24, 28, 33, 34, 36, 39])
@@ -40,6 +46,18 @@ def parse_args(argv=None):
     p.add_argument("--num_classes", type=int, default=21)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_scenes", type=int, default=0, help="0 = all (debug aid)")
+    add_nl_args(p)
+    p.add_argument(
+        "--single_pass", type=str2bool, default=False,
+        help="whole-scene single-pass inference: the ENTIRE scene goes "
+        "through the model at once (memory-bounded attention/kNN) instead of "
+        "the reference's sliding-window chopping. Pair with --nl_block_size.",
+    )
+    p.add_argument(
+        "--pad_quantum", type=int, default=8192,
+        help="single-pass scenes are dup-padded up to a multiple of this "
+        "(bounds jit recompiles across scene sizes; must be divisible by 256)",
+    )
     return p.parse_args(argv)
 
 
@@ -72,7 +90,8 @@ def main(argv=None):
     )
 
     model = get_model_class(flags.model)(
-        num_class=flags.num_classes, feature_channel=feature_channel
+        num_class=flags.num_classes, feature_channel=feature_channel,
+        **nl_kwargs(flags),
     )
     tx = make_optimizer("adam", staircase_lr_schedule(1e-3, flags.batch_size, 2e5, 0.7))
     example = jnp.zeros((flags.batch_size, flags.num_point, 3 + feature_channel), jnp.float32)
@@ -96,7 +115,33 @@ def main(argv=None):
         whole_scene_label = dataset.semantic_labels_list[scene_idx]
         vote_label_pool = np.zeros((whole_scene_label.shape[0], flags.num_classes))
 
-        for _ in range(flags.num_votes):
+        if flags.single_pass:
+            # Whole scene through the model at once, per vote (fresh noise +
+            # point order each vote — the order changes the FPS seeds, which
+            # is the voting randomness, as in the reference protocol).
+            quantum = max(256, flags.pad_quantum - flags.pad_quantum % 256)
+            for _ in range(flags.num_votes):
+                pts, seg, smpw, pidx = dataset.whole_scene(scene_idx)
+                n = pts.shape[0]
+                n_pad = (-n) % quantum
+                if n_pad:
+                    dup = rs.choice(n, n_pad)
+                    pts = np.concatenate([pts, pts[dup]], axis=0)
+                    smpw = np.concatenate([smpw, smpw[dup]], axis=0)
+                    pidx = np.concatenate([pidx, pidx[dup]], axis=0)
+                order = rs.permutation(pts.shape[0])
+                pts, smpw, pidx = pts[order], smpw[order], pidx[order]
+                logits = np.asarray(
+                    predict(state, jnp.asarray(pts[None, :, : 3 + feature_channel]))
+                )[0]
+                pred_label = np.argmax(logits[:, 1:], 1) + 1
+                vote_label_pool = add_vote(
+                    vote_label_pool, pidx[None], pred_label[None], smpw[None]
+                )
+            num_votes_done = flags.num_votes
+        else:
+            num_votes_done = 0
+        for _ in range(flags.num_votes - num_votes_done):
             scene_data, scene_label, scene_smpw, scene_point_index = dataset[scene_idx]
             num_blocks = scene_data.shape[0]
             s_batch_num = (num_blocks + flags.batch_size - 1) // flags.batch_size

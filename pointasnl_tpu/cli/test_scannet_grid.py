@@ -17,6 +17,7 @@ from datetime import datetime
 import numpy as np
 
 from pointasnl_tpu.cli.train_scannet_grid import vote_projection_eval
+from pointasnl_tpu.cli.seg_common import nl_kwargs
 
 
 def parse_args(argv=None):
@@ -84,7 +85,8 @@ def main(argv=None):
     )
 
     model = get_model_class(train_args["model"])(
-        num_class=num_classes, feature_channel=feature_channel
+        num_class=num_classes, feature_channel=feature_channel,
+        **nl_kwargs(train_args),
     )
     tx = make_optimizer("adam", staircase_lr_schedule(1e-3, batch_size, 2e5, 0.7))
     example = jnp.zeros((batch_size, num_point, 3 + feature_channel), jnp.float32)

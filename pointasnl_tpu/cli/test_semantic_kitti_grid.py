@@ -14,6 +14,7 @@ import argparse
 import os
 
 import numpy as np
+from pointasnl_tpu.cli.seg_common import nl_kwargs
 
 
 def parse_args(argv=None):
@@ -72,7 +73,9 @@ def main(argv=None):
 
     cfg = GridConfig(batch_size=batch_size, in_radius=train_args.get("in_radius", 0))
 
-    model = get_model_class(train_args["model"])(num_class=num_classes, feature_channel=0)
+    model = get_model_class(train_args["model"])(
+        num_class=num_classes, feature_channel=0, **nl_kwargs(train_args)
+    )
     tx = make_optimizer("adam", staircase_lr_schedule(1e-3, batch_size, 2e5, 0.7))
     example = jnp.zeros((batch_size, num_point, 3), jnp.float32)
     state = create_train_state(model, example, tx=tx, rng=jax.random.PRNGKey(0))

@@ -15,7 +15,7 @@ import time
 
 import numpy as np
 
-from pointasnl_tpu.cli.seg_common import SegEvalAccumulator, pad_seg_batch, str2bool
+from pointasnl_tpu.cli.seg_common import SegEvalAccumulator, add_nl_args, nl_kwargs, pad_seg_batch, str2bool
 
 SEG_LABEL_TO_CAT = {
     0: "unannotated", 1: "wall", 2: "floor", 3: "chair", 4: "table", 5: "desk",
@@ -43,6 +43,7 @@ def parse_args(argv=None):
     p.add_argument("--num_classes", type=int, default=21)
     p.add_argument("--whole_eval_start", type=int, default=500)
     p.add_argument("--whole_eval_gap", type=int, default=10)
+    add_nl_args(p)
     p.add_argument(
         "--max_to_keep", type=int, default=100,
         help="retained epoch-numbered checkpoints (<=0 keeps all)",
@@ -109,7 +110,8 @@ def main(argv=None):
     )
 
     model = get_model_class(flags.model)(
-        num_class=flags.num_classes, feature_channel=feature_channel
+        num_class=flags.num_classes, feature_channel=feature_channel,
+        **nl_kwargs(flags),
     )
     lr_sched = staircase_lr_schedule(
         flags.learning_rate, flags.batch_size, float(flags.decay_step), flags.decay_rate

@@ -17,7 +17,7 @@ import time
 
 import numpy as np
 
-from pointasnl_tpu.cli.seg_common import str2bool
+from pointasnl_tpu.cli.seg_common import add_nl_args, nl_kwargs, str2bool
 from pointasnl_tpu.cli.train_scannet import SEG_LABEL_TO_CAT
 
 
@@ -41,6 +41,7 @@ def parse_args(argv=None):
     p.add_argument("--optimizer", default="adam", choices=["adam", "momentum"])
     p.add_argument("--decay_step", type=int, default=400000)
     p.add_argument("--decay_rate", type=float, default=0.5)
+    add_nl_args(p)
     p.add_argument(
         "--max_to_keep", type=int, default=100,
         help="retained epoch-numbered checkpoints (<=0 keeps all)",
@@ -168,7 +169,8 @@ def main(argv=None):
     )
 
     model = get_model_class(flags.model)(
-        num_class=num_classes, feature_channel=feature_channel
+        num_class=num_classes, feature_channel=feature_channel,
+        **nl_kwargs(flags),
     )
     lr_sched = staircase_lr_schedule(
         flags.learning_rate, flags.batch_size, float(flags.decay_step), flags.decay_rate

@@ -14,7 +14,7 @@ import time
 
 import numpy as np
 
-from pointasnl_tpu.cli.seg_common import SegEvalAccumulator, pad_seg_batch
+from pointasnl_tpu.cli.seg_common import SegEvalAccumulator, add_nl_args, nl_kwargs, pad_seg_batch
 
 KITTI_LABEL_TO_CAT = {
     0: "unlabeled", 1: "car", 2: "bicycle", 3: "motorcycle", 4: "truck",
@@ -39,6 +39,7 @@ def parse_args(argv=None):
     p.add_argument("--optimizer", default="adam", choices=["adam", "momentum"])
     p.add_argument("--decay_step", type=int, default=200000)
     p.add_argument("--decay_rate", type=float, default=0.7)
+    add_nl_args(p)
     p.add_argument(
         "--max_to_keep", type=int, default=100,
         help="retained epoch-numbered checkpoints (<=0 keeps all)",
@@ -99,7 +100,8 @@ def main(argv=None):
     )
 
     model = get_model_class(flags.model)(
-        num_class=flags.num_classes, feature_channel=feature_channel
+        num_class=flags.num_classes, feature_channel=feature_channel,
+        **nl_kwargs(flags),
     )
     lr_sched = staircase_lr_schedule(
         flags.learning_rate, flags.batch_size, float(flags.decay_step), flags.decay_rate

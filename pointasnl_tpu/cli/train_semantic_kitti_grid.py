@@ -16,6 +16,7 @@ import time
 import numpy as np
 
 from pointasnl_tpu.cli.train_semantic_kitti import KITTI_LABEL_TO_CAT
+from pointasnl_tpu.cli.seg_common import add_nl_args, nl_kwargs
 
 
 def parse_args(argv=None):
@@ -35,6 +36,7 @@ def parse_args(argv=None):
     p.add_argument("--optimizer", default="adam", choices=["adam", "momentum"])
     p.add_argument("--decay_step", type=int, default=200000)
     p.add_argument("--decay_rate", type=float, default=0.7)
+    add_nl_args(p)
     p.add_argument(
         "--max_to_keep", type=int, default=100,
         help="retained epoch-numbered checkpoints (<=0 keeps all)",
@@ -117,7 +119,9 @@ def main(argv=None):
 
     cfg = GridConfig(batch_size=flags.batch_size, in_radius=flags.in_radius)
 
-    model = get_model_class(flags.model)(num_class=num_classes, feature_channel=0)
+    model = get_model_class(flags.model)(
+        num_class=num_classes, feature_channel=0, **nl_kwargs(flags)
+    )
     lr_sched = staircase_lr_schedule(
         flags.learning_rate, flags.batch_size, float(flags.decay_step), flags.decay_rate
     )

@@ -259,6 +259,40 @@ class ScannetDatasetWholeSceneSlidingWindow:
             for seg in self.semantic_labels_list:
                 self.point_num.append(seg.shape[0])
 
+    def whole_scene(self, index):
+        """The entire scene as ONE sample (single-pass inference path).
+
+        Applies the same 20%-noise robustness protocol as __getitem__
+        (scannet_dataset.py:192-212) but skips the block chopping — the
+        TPU-native whole-scene path feeds all points through the model at
+        once with memory-bounded attention/kNN (SURVEY.md §5.7).
+
+        Returns (points (N, 3+f), labels (N,), smpw (N,), point_idx (N,)).
+        """
+        if self.with_rgb:
+            point_set = self.scene_points_list[index].copy()
+        else:
+            point_set = self.scene_points_list[index][:, 0:3].copy()
+        semantic_seg = self.semantic_labels_list[index].astype(np.int32).copy()
+
+        noise_ratio = 0.2
+        raw_xyz = point_set[:, 0:3]
+        num_raw_points = raw_xyz.shape[0]
+        centroid = np.mean(raw_xyz, axis=0, keepdims=True)
+        normalized_xyz = raw_xyz - centroid
+        max_length = max(abs(np.max(normalized_xyz)), abs(np.min(normalized_xyz)))
+        normalized_xyz = normalized_xyz / max_length
+        num_noise = math.ceil(num_raw_points * noise_ratio)
+        choices = self.rs.choice(num_raw_points, num_noise)
+        new_noise_xyz = normalized_xyz[choices]
+        shift = (self.rs.randn(num_noise, 3) - 0.5) / 0.5 * 0.002
+        point_set[choices, 0:3] = (new_noise_xyz + shift) * max_length + centroid
+        semantic_seg[choices] = 0
+
+        smpw = self.labelweights[semantic_seg]
+        point_idx = np.arange(num_raw_points)
+        return point_set, semantic_seg, smpw, point_idx
+
     @staticmethod
     def chunks(l, n):
         for i in range(0, len(l), n):

@@ -10,7 +10,7 @@ Architecture parity with models/pointasnl_cls.py:17-52:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -29,6 +29,10 @@ class PointASNLCls(nn.Module):
     num_class: int = 40
     use_normal: bool = False
     adaptive_sample: bool = False
+    # Whole-scene-scale attention controls (threaded to every NL cell; see
+    # nn/blockwise.py and SURVEY.md §5.7). None/False = dense parity path.
+    nl_kv_block_size: Optional[int] = None
+    nl_use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -46,12 +50,14 @@ class PointASNLCls(nn.Module):
         as_neighbor = (12, 12) if self.adaptive_sample else (0, 0)
 
         l1_xyz, l1_points = PointASNLSetAbstraction(
-            npoint=512, nsample=32, mlp=(64, 64, 128), as_neighbor=as_neighbor[0], name="layer1"
+            npoint=512, nsample=32, mlp=(64, 64, 128), as_neighbor=as_neighbor[0], name="layer1",
+            nl_kv_block_size=self.nl_kv_block_size, nl_use_flash=self.nl_use_flash,
         )(l0_xyz, l0_points, training=training, bn_momentum=bn_momentum)
         end_points["l1_xyz"] = l1_xyz
 
         l2_xyz, l2_points = PointASNLSetAbstraction(
-            npoint=128, nsample=64, mlp=(128, 128, 256), as_neighbor=as_neighbor[1], name="layer2"
+            npoint=128, nsample=64, mlp=(128, 128, 256), as_neighbor=as_neighbor[1], name="layer2",
+            nl_kv_block_size=self.nl_kv_block_size, nl_use_flash=self.nl_use_flash,
         )(l1_xyz, l1_points, training=training, bn_momentum=bn_momentum)
 
         _, l3_points_res, _ = PointNetSAModule(

@@ -10,7 +10,7 @@ Architecture parity with models/pointasnl_sem_seg.py:18-50:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 from flax import linen as nn
@@ -26,6 +26,10 @@ Array = jax.Array
 class PointASNLSemSeg(nn.Module):
     num_class: int = 21
     feature_channel: int = 0
+    # Whole-scene-scale attention controls (threaded to every NL cell; see
+    # nn/blockwise.py and SURVEY.md §5.7). None/False = dense parity path.
+    nl_kv_block_size: Optional[int] = None
+    nl_use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -44,16 +48,20 @@ class PointASNLSemSeg(nn.Module):
         num_points = [num_point // 8, num_point // 32, num_point // 128, num_point // 256]
 
         l1_xyz, l1_points = PointASNLSetAbstraction(
-            npoint=num_points[0], nsample=32, mlp=(32, 32, 64), as_neighbor=8, name="layer1"
+            npoint=num_points[0], nsample=32, mlp=(32, 32, 64), as_neighbor=8, name="layer1",
+            nl_kv_block_size=self.nl_kv_block_size, nl_use_flash=self.nl_use_flash,
         )(l0_xyz, l0_points, training=training, bn_momentum=bn_momentum)
         l2_xyz, l2_points = PointASNLSetAbstraction(
-            npoint=num_points[1], nsample=32, mlp=(64, 64, 128), as_neighbor=4, name="layer2"
+            npoint=num_points[1], nsample=32, mlp=(64, 64, 128), as_neighbor=4, name="layer2",
+            nl_kv_block_size=self.nl_kv_block_size, nl_use_flash=self.nl_use_flash,
         )(l1_xyz, l1_points, training=training, bn_momentum=bn_momentum)
         l3_xyz, l3_points = PointASNLSetAbstraction(
-            npoint=num_points[2], nsample=32, mlp=(128, 128, 256), as_neighbor=0, name="layer3"
+            npoint=num_points[2], nsample=32, mlp=(128, 128, 256), as_neighbor=0, name="layer3",
+            nl_kv_block_size=self.nl_kv_block_size, nl_use_flash=self.nl_use_flash,
         )(l2_xyz, l2_points, training=training, bn_momentum=bn_momentum)
         l4_xyz, l4_points = PointASNLSetAbstraction(
-            npoint=num_points[3], nsample=32, mlp=(256, 256, 512), as_neighbor=0, name="layer4"
+            npoint=num_points[3], nsample=32, mlp=(256, 256, 512), as_neighbor=0, name="layer4",
+            nl_kv_block_size=self.nl_kv_block_size, nl_use_flash=self.nl_use_flash,
         )(l3_xyz, l3_points, training=training, bn_momentum=bn_momentum)
         end_points["l1_xyz"] = l1_xyz
 

@@ -11,7 +11,7 @@ Architecture parity with models/pointasnl_sem_seg_res.py:19-68:
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 from flax import linen as nn
@@ -28,6 +28,10 @@ Array = jax.Array
 class PointASNLSemSegRes(nn.Module):
     num_class: int = 21
     feature_channel: int = 0
+    # Whole-scene-scale attention controls (threaded to every NL cell; see
+    # nn/blockwise.py and SURVEY.md §5.7). None/False = dense parity path.
+    nl_kv_block_size: Optional[int] = None
+    nl_use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -47,7 +51,10 @@ class PointASNLSemSegRes(nn.Module):
 
         def sa(name, npoint, mlp, as_neighbor, NL=True):
             return PointASNLSetAbstraction(
-                npoint=npoint, nsample=32, mlp=mlp, as_neighbor=as_neighbor, NL=NL, name=name
+                npoint=npoint, nsample=32, mlp=mlp, as_neighbor=as_neighbor, NL=NL,
+                nl_kv_block_size=self.nl_kv_block_size,
+                nl_use_flash=self.nl_use_flash,
+                name=name,
             )
 
         _, l0_points = sa("layer0", num_point, (16, 16, 32), 0, NL=False)(

@@ -24,10 +24,16 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def _online_softmax_step(carry, qk_scale, q, k_blk, v_blk):
-    """One online-softmax accumulation step over a K/V block."""
+def _online_softmax_step(carry, qk_scale, q, k_blk, v_blk, valid=None):
+    """One online-softmax accumulation step over a K/V block.
+
+    `valid`: optional (blk,) bool — False keys (ragged-tail padding) score
+    -1e30, so they contribute exp(...)=0 without poisoning the running max.
+    """
     m_prev, l_prev, o_prev = carry  # (B,M,1), (B,M,1), (B,M,D)
     scores = jnp.einsum("bmc,bnc->bmn", q, k_blk) * qk_scale  # (B,M,blk)
+    if valid is not None:
+        scores = jnp.where(valid[None, None, :], scores, jnp.float32(-1e30))
     m_blk = jnp.max(scores, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_blk)
     p = jnp.exp(scores - m_new)  # (B,M,blk)
@@ -47,8 +53,9 @@ def blockwise_attention(
 ) -> jax.Array:
     """softmax(q k^T / sqrt(d)) v computed in K/V chunks (online softmax).
 
-    q: (B, M, C), k: (B, N, C), v: (B, N, D) -> (B, M, D). N must be a
-    multiple of block_size (pad + mask upstream if not).
+    q: (B, M, C), k: (B, N, C), v: (B, N, D) -> (B, M, D). A ragged tail
+    (N not a multiple of block_size) is zero-padded and masked out of the
+    softmax.
     """
     B, M, C = q.shape
     N = k.shape[1]
@@ -59,11 +66,14 @@ def blockwise_attention(
         attn = jax.nn.softmax(attn, axis=-1)
         return jnp.einsum("bmn,bnd->bmd", attn, v)
 
-    if N % block_size != 0:
-        raise ValueError(f"N={N} not divisible by block_size={block_size}")
-    nblk = N // block_size
+    pad = (-N) % block_size
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, pad), (0, 0)))
+    nblk = (N + pad) // block_size
     k_blocks = k.reshape(B, nblk, block_size, C).swapaxes(0, 1)  # (nblk, B, blk, C)
     v_blocks = v.reshape(B, nblk, block_size, D).swapaxes(0, 1)
+    valid = (jnp.arange(nblk * block_size) < N).reshape(nblk, block_size)
 
     init = (
         jnp.full((B, M, 1), -jnp.inf, q.dtype),
@@ -72,10 +82,10 @@ def blockwise_attention(
     )
 
     def scan_body(carry, kv):
-        k_blk, v_blk = kv
-        return _online_softmax_step(carry, scale, q, k_blk, v_blk), None
+        k_blk, v_blk, valid_blk = kv
+        return _online_softmax_step(carry, scale, q, k_blk, v_blk, valid_blk), None
 
-    (m, l, o), _ = lax.scan(scan_body, init, (k_blocks, v_blocks))
+    (m, l, o), _ = lax.scan(scan_body, init, (k_blocks, v_blocks, valid))
     return o / l
 
 

@@ -249,6 +249,8 @@ class PointASNLSetAbstraction(nn.Module):
     radius: Optional[float] = None
     # Chunk the non-local K/V axis (whole-scene scale; see PointNonLocalCell).
     nl_kv_block_size: Optional[int] = None
+    # Fused flash-attention Pallas kernel for the non-local cell.
+    nl_use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -286,6 +288,7 @@ class PointASNLSetAbstraction(nn.Module):
                 out_channels=nl_channel,
                 bn=self.bn,
                 kv_block_size=self.nl_kv_block_size,
+                use_flash=self.nl_use_flash,
                 name="nonlocal",
             )(feature, new_feature, training=training, bn_momentum=bn_momentum)
 

@@ -87,6 +87,17 @@ farthest_point_sample.__doc__ = _g.farthest_point_sample.__doc__
 
 
 def knn_point(k, support, query):
+    # The Pallas streaming kernel avoids the (B,M,N) HBM distance matrix but
+    # pays O(K·N) VPU selection; measured on v5e it does NOT beat the XLA
+    # top_k path at the parity shapes (see BENCH_OPS.md), so "auto" keeps the
+    # jnp path and the kernel is opt-in via backend="pallas".
+    if current_backend() == "pallas":
+        try:
+            from pointasnl_tpu.ops.pallas import knn as _pknn
+        except ImportError:
+            pass
+        else:
+            return _pknn.knn_point(k, support, query)
     return _g.knn_point(k, support, query)
 
 

@@ -113,14 +113,22 @@ def group_point(points: Array, idx: Array) -> Array:
     return flat.reshape(B, M, K, points.shape[-1])
 
 
+# Above this many (B*M*N) distance-matrix elements (= 1 GiB float32),
+# knn_point switches to the memory-bounded chunked path — whole-scene
+# single-pass shapes would otherwise materialize tens of GB in HBM.
+_DENSE_KNN_MAX_ELEMENTS = 2**28
+
+
 def knn_point(k: int, support: Array, query: Array) -> Tuple[Array, Array]:
     """Exact k-nearest-neighbor search by brute force on-device.
 
     Replaces both the nanoflann KD-tree host library (utils/nearest_neighbors/
     knn_.cxx:104-135, consumed through tf.py_func at utils/pointasnl_util.py:62)
     and the selection-sort GPU path (tf_ops/grouping/tf_grouping.py:48-73).
-    All workloads have N <= ~10240, so an MXU-tiled O(M*N) distance matrix +
-    top-k beats a host KD-tree round trip by a wide margin.
+    The parity workloads have N <= ~10240, so an MXU-tiled O(M*N) distance
+    matrix + top-k beats a host KD-tree round trip by a wide margin; beyond
+    ~1 GiB of distance matrix (whole-scene single-pass inference) the search
+    streams through knn_point_chunked instead, with identical results.
 
     Args:
       k: number of neighbors (static).
@@ -132,7 +140,10 @@ def knn_point(k: int, support: Array, query: Array) -> Tuple[Array, Array]:
       When query is a subset of support, the query point itself is its own
       first neighbor (distance 0), matching the reference.
     """
-    N = support.shape[1]
+    B, N, _ = support.shape
+    M = query.shape[1]
+    if B * M * N > _DENSE_KNN_MAX_ELEMENTS and N >= k:
+        return knn_point_chunked(k, support, query)
     d2 = pairwise_sqdist(query, support)  # (B, M, N)
     k_eff = min(k, N)
     neg, idx = lax.top_k(-d2, k_eff)
@@ -142,6 +153,76 @@ def knn_point(k: int, support: Array, query: Array) -> Tuple[Array, Array]:
         dist = jnp.concatenate([dist, jnp.repeat(dist[..., -1:], pad, axis=-1)], axis=-1)
         idx = jnp.concatenate([idx, jnp.repeat(idx[..., -1:], pad, axis=-1)], axis=-1)
     return dist, idx
+
+
+def knn_point_chunked(
+    k: int,
+    support: Array,
+    query: Array,
+    *,
+    query_block: int = 4096,
+    support_block: int = 8192,
+) -> Tuple[Array, Array]:
+    """Exact kNN with O(B*query_block*support_block) transient memory.
+
+    Same contract as knn_point (including stable lower-index tie-breaks: the
+    running top-k is listed before each new chunk's candidates, and chunks
+    arrive in index order), but the (M, N) distance matrix never exists —
+    query tiles scan over support chunks with a running top-k merge. This is
+    the memory-bounded search used for whole-scene single-pass inference
+    (SURVEY.md §5.7), where M and N reach scene size (10^5+ points).
+
+    Not differentiable (gradients are cut, like the reference's py_func kNN).
+    """
+    B, N, _ = support.shape
+    M = query.shape[1]
+    if N < k:
+        return knn_point(k, support, query)  # degenerate: dense handles padding
+    support = lax.stop_gradient(support.astype(jnp.float32))
+    query = lax.stop_gradient(query.astype(jnp.float32))
+
+    sb = min(support_block, N)
+    qb = min(query_block, M)
+    n_pad = (-N) % sb
+    m_pad = (-M) % qb
+    if n_pad:
+        support = jnp.pad(support, ((0, 0), (0, n_pad), (0, 0)))
+    if m_pad:
+        query = jnp.pad(query, ((0, 0), (0, m_pad), (0, 0)))
+    n_chunks = (N + n_pad) // sb
+    n_qblocks = (M + m_pad) // qb
+
+    # (n_chunks, B, sb, 3) support chunks + their global index offsets.
+    s_chunks = support.reshape(B, n_chunks, sb, 3).swapaxes(0, 1)
+    offsets = jnp.arange(n_chunks, dtype=jnp.int32) * sb
+    lane = jnp.arange(sb, dtype=jnp.int32)
+
+    def per_query_block(q_blk):  # (B, qb, 3)
+        def scan_body(carry, chunk):
+            best_d, best_i = carry  # (B, qb, k)
+            s_blk, off = chunk
+            d2 = pairwise_sqdist(q_blk, s_blk)  # (B, qb, sb)
+            gidx = off + lane  # (sb,)
+            d2 = jnp.where(gidx[None, None, :] < N, d2, jnp.float32(_FPS_INF))
+            cand_d = jnp.concatenate([best_d, d2], axis=-1)
+            cand_i = jnp.concatenate(
+                [best_i, jnp.broadcast_to(gidx, d2.shape).astype(jnp.int32)], axis=-1
+            )
+            neg, sel = lax.top_k(-cand_d, k)
+            return (-neg, jnp.take_along_axis(cand_i, sel, axis=-1)), None
+
+        init = (
+            jnp.full((B, qb, k), jnp.float32(_FPS_INF)),
+            jnp.zeros((B, qb, k), jnp.int32),
+        )
+        (d, i), _ = lax.scan(scan_body, init, (s_chunks, offsets))
+        return d, i
+
+    q_blocks = query.reshape(B, n_qblocks, qb, 3).swapaxes(0, 1)
+    dists, idxs = lax.map(per_query_block, q_blocks)  # (n_qblocks, B, qb, k)
+    dists = dists.swapaxes(0, 1).reshape(B, M + m_pad, k)[:, :M]
+    idxs = idxs.swapaxes(0, 1).reshape(B, M + m_pad, k)[:, :M]
+    return dists, idxs
 
 
 def query_ball_point(radius: float, nsample: int, xyz: Array, new_xyz: Array) -> Tuple[Array, Array]:

@@ -18,16 +18,28 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def chain_time(fn, x, iters=20):
-    import jax
+def chain_time(fn, x, iters_lo=5, iters_hi=25):
+    """Per-iteration device time of `fn` (same-shape in/out), robustly.
 
-    out = fn(x)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        x = fn(x)
-    jax.block_until_ready(x)
-    return (time.perf_counter() - t0) / iters * 1e3
+    Python-loop chaining is NOT trustworthy through the TPU tunnel: repeated
+    near-identical dispatches get cached/overlapped and ops report ~20 us
+    regardless of size. Instead the chain lives INSIDE one XLA program
+    (lax.fori_loop with a data-dependent carry), and the per-iteration time
+    is the slope between two loop lengths — dispatch overhead cancels.
+    """
+    import jax
+    from jax import lax
+
+    def timed(iters):
+        run = jax.jit(
+            lambda x0: lax.fori_loop(0, iters, lambda i, acc: fn(acc), x0)
+        )
+        jax.block_until_ready(run(x))  # compile + warm
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(x))
+        return time.perf_counter() - t0
+
+    return (timed(iters_hi) - timed(iters_lo)) / (iters_hi - iters_lo) * 1e3
 
 
 def main():
@@ -69,6 +81,31 @@ def main():
                 + ops.three_interpolate_idw(x, x[:, :m], x[:, :m]).sum() * 1e-12
             )
             print(f"[{name}] three_interp {N}<-{M}: {chain_time(interp, xyz):.3f} ms")
+
+    # Pallas streaming kNN vs the XLA top_k path, head to head (VERDICT r1
+    # item 2: adopt only if faster; numbers recorded in BENCH_OPS.md).
+    from pointasnl_tpu.ops import geometry as g
+
+    try:
+        from pointasnl_tpu.ops.pallas import knn as pknn
+
+        for name, B, N, M, K in configs:
+            xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+            jknn = jax.jit(
+                lambda x, m=M, k=K: x + g.knn_point(k, x, x[:, :m])[0].sum() * 1e-12
+            )
+            t_jnp = chain_time(jknn, xyz)
+            cknn = jax.jit(
+                lambda x, m=M, k=K: x + pknn.knn_point(k, x, x[:, :m])[0].sum() * 1e-12
+            )
+            t_pal = chain_time(cknn, xyz)
+            print(
+                f"[{name}] knn{K} {M}x{N} head-to-head: "
+                f"xla={t_jnp:.3f} ms pallas={t_pal:.3f} ms "
+                f"({'pallas' if t_pal < t_jnp else 'xla'} wins {max(t_jnp,t_pal)/max(min(t_jnp,t_pal),1e-9):.2f}x)"
+            )
+    except Exception as e:  # pallas unavailable off-TPU without interpret mode
+        print(f"[pallas knn] skipped: {type(e).__name__}: {e}")
 
     # host kNN (sklearn KDTree) for comparison — the reference's nanoflann role
     from pointasnl_tpu.ops.host_knn import knn_batch

@@ -37,12 +37,6 @@ def test_blockwise_single_block_path(rng):
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
 
 
-def test_blockwise_rejects_ragged(rng):
-    q, k, v = make_qkv(rng, N=100)
-    with pytest.raises(ValueError):
-        blockwise_attention(q, k, v, block_size=64)
-
-
 def test_ring_attention_matches_dense(rng):
     mesh = make_mesh(axis_names=("model",))
     q, k, v = make_qkv(rng, B=2, M=8, N=8 * 16, C=8, D=4)
@@ -64,3 +58,20 @@ def test_ring_attention_grad(rng):
     )
     for a, b in zip(g, gd):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_blockwise_ragged_tail_matches_dense(rng):
+    """N not divisible by block_size: padded keys are masked exactly."""
+    import jax
+    import jax.numpy as jnp
+    from pointasnl_tpu.nn.blockwise import blockwise_attention
+
+    q = jnp.asarray(rng.randn(2, 16, 8).astype(np.float32))
+    k = jnp.asarray(rng.randn(2, 100, 8).astype(np.float32))  # 100 % 32 != 0
+    v = jnp.asarray(rng.randn(2, 100, 12).astype(np.float32))
+    got = blockwise_attention(q, k, v, block_size=32)
+    attn = jax.nn.softmax(
+        jnp.einsum("bmc,bnc->bmn", q, k) / jnp.sqrt(jnp.float32(8)), axis=-1
+    )
+    want = jnp.einsum("bmn,bnd->bmd", attn, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=2e-5)

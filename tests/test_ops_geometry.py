@@ -249,3 +249,25 @@ def test_ops_jit_compatible(rng):
 
     out = pipeline(xyz)
     assert out.shape == (2, 16, 8, 3)
+
+
+def test_knn_point_chunked_matches_dense(rng):
+    """The memory-bounded whole-scene kNN equals the dense path exactly."""
+    from pointasnl_tpu.ops import geometry as g
+
+    support = jnp.asarray(rng.randn(2, 500, 3).astype(np.float32))
+    query = jnp.asarray(rng.randn(2, 300, 3).astype(np.float32))
+    want_d, want_i = g.knn_point(16, support, query)
+    got_d, got_i = g.knn_point_chunked(
+        16, support, query, query_block=128, support_block=128
+    )
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-5
+    )
+    # query subset of support (the SA-layer pattern): self is first neighbor
+    got_d2, got_i2 = g.knn_point_chunked(
+        8, support, support[:, :100], query_block=64, support_block=96
+    )
+    want_d2, want_i2 = g.knn_point(8, support, support[:, :100])
+    np.testing.assert_array_equal(np.asarray(got_i2), np.asarray(want_i2))

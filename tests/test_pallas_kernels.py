@@ -35,3 +35,32 @@ def test_dispatch_backend_override(rng):
     with ops_backend("jnp"):
         idx = ops.farthest_point_sample(8, xyz)
     assert idx.shape == (1, 8)
+
+
+@pytest.mark.parametrize("B,N,M,K", [(2, 256, 64, 8), (1, 300, 50, 16), (2, 128, 128, 32)])
+def test_pallas_knn_matches_oracle(rng, B, N, M, K):
+    from pointasnl_tpu.ops.pallas import knn as pknn
+
+    support = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    query = support[:, :M]  # query subset of support, like the SA layers
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = pknn.knn_point(K, support, query)
+    want_d, want_i = g.knn_point(K, support, query)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pallas_knn_disjoint_query(rng):
+    from pointasnl_tpu.ops.pallas import knn as pknn
+
+    support = jnp.asarray(rng.randn(1, 200, 3).astype(np.float32))
+    query = jnp.asarray(rng.randn(1, 70, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = pknn.knn_point(12, support, query)
+    want_d, want_i = g.knn_point(12, support, query)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-5
+    )
