@@ -124,11 +124,14 @@ def main(argv=None):
 
     if flags.noise:
         lines = ["Noise    Accuracy", f" 000       {acc:.3f}"]
+        sweep = {0: acc}
         for n in NOISE_POINTS:
             log(f"*** Evaluation with {n} Noisy Points ***")
             nacc, _ = evaluate_once(state, predict, dataset, flags, rs, num_noisy_points=n, log=log)
             lines.append(f" {n:03d}       {nacc:.3f}")
+            sweep[n] = nacc
         log("\n".join(lines))
+        return sweep
     return acc
 
 

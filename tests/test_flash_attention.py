@@ -31,13 +31,36 @@ def test_flash_gradients_match_dense(rng):
     q, k, v = make_qkv(rng, B=1, M=8, N=64, C=4, D=4)
 
     def f_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attention(q, k, v) ** 2)
+        return jnp.sum(flash_attention(q, k, v) ** 2)
 
     def f_dense(q, k, v):
         return jnp.sum(dense_attention(q, k, v) ** 2)
 
-    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
     g_dense = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_dense):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+@pytest.mark.parametrize("M,N", [(200, 300), (128, 128)])
+def test_flash_pallas_backward_matches_dense(rng, M, N):
+    """The hand-written Pallas backward (dQ per tile; dK/dV accumulated across
+    revisited output blocks) vs jax.grad of dense attention — including an
+    M-padding case (200 -> 256) where zero dO rows must contribute nothing."""
+    q, k, v = make_qkv(rng, B=2, M=M, N=N, C=8, D=12)
+    ct = jnp.asarray(np.random.RandomState(3).randn(2, M, 12).astype(np.float32))
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v) * ct)
+
+    def f_dense(q, k, v):
+        return jnp.sum(dense_attention(q, k, v) * ct)
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_dense = jax.grad(f_dense, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b in zip("qkv", g_flash, g_dense):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4, err_msg=f"d{name}"
+        )

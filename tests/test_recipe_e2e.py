@@ -1,0 +1,133 @@
+"""Multi-epoch recipe validation on procedural shapes (slow, deterministic).
+
+No real dataset ships in this environment (zero egress), so the full training
+recipe — host augmentation, staircase LR + scheduled BN momentum, per-epoch
+eval, best-checkpoint selection, vote/noise eval — is validated end to end
+through the REAL CLI trainer/tester on a procedurally generated 4-class shape
+dataset (VERDICT r1 item 7; behavioral contract of /root/reference/train.py:
+190-265 and test.py:94-152). Asserts that accuracy climbs well past chance
+and that --AS (adaptive sampling) holds up under injected point noise, the
+reference's robustness claim (README.md:53-59).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+N_POINTS = 320
+N_TRAIN_PER_CLASS = 24
+N_TEST_PER_CLASS = 8
+
+
+def _make_shape(rng, kind: str) -> np.ndarray:
+    n = N_POINTS
+    if kind == "sphere":
+        v = rng.randn(n, 3)
+        pts = v / np.linalg.norm(v, axis=1, keepdims=True)
+    elif kind == "cube":
+        pts = rng.rand(n, 3) * 2 - 1
+        ax = rng.randint(0, 3, n)
+        sign = rng.randint(0, 2, n) * 2 - 1
+        pts[np.arange(n), ax] = sign  # project onto a random face
+    elif kind == "cylinder":
+        theta = rng.rand(n) * 2 * np.pi
+        pts = np.stack(
+            [np.cos(theta), np.sin(theta), rng.rand(n) * 2 - 1], axis=1
+        )
+    elif kind == "torus":
+        u = rng.rand(n) * 2 * np.pi
+        w = rng.rand(n) * 2 * np.pi
+        r, R = 0.3, 1.0
+        pts = np.stack(
+            [
+                (R + r * np.cos(w)) * np.cos(u),
+                (R + r * np.cos(w)) * np.sin(u),
+                r * np.sin(w),
+            ],
+            axis=1,
+        )
+    else:
+        raise ValueError(kind)
+    pts = pts + rng.randn(n, 3) * 0.02
+    return np.concatenate([pts, np.zeros((n, 3))], axis=1).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def synthetic_shapes(tmp_path_factory):
+    rng = np.random.RandomState(7)
+    root = tmp_path_factory.mktemp("shapes")
+    names = ["sphere", "cube", "cylinder", "torus"]
+    (root / "modelnet40_shape_names.txt").write_text("\n".join(names) + "\n")
+    train_ids, test_ids = [], []
+    for name in names:
+        (root / name).mkdir()
+        for i in range(N_TRAIN_PER_CLASS + N_TEST_PER_CLASS):
+            sid = f"{name}_{i:04d}"
+            np.savetxt(root / name / f"{sid}.txt", _make_shape(rng, name), delimiter=",")
+            (train_ids if i < N_TRAIN_PER_CLASS else test_ids).append(sid)
+    (root / "modelnet40_train.txt").write_text("\n".join(train_ids) + "\n")
+    (root / "modelnet40_test.txt").write_text("\n".join(test_ids) + "\n")
+    return str(root)
+
+
+def _train(synthetic_shapes, log_dir, use_as: bool):
+    from pointasnl_tpu.cli import train_modelnet
+
+    args = [
+        "--data", synthetic_shapes,
+        "--log_dir", log_dir,
+        "--batch_size", "8",
+        "--num_point", str(N_POINTS),
+        "--num_classes", "4",
+        "--max_epoch", "16",
+        "--learning_rate", "0.002",
+        "--max_to_keep", "3",
+    ]
+    if use_as:
+        args.append("--AS")
+    return train_modelnet.main(args)
+
+
+def _noise_eval(synthetic_shapes, log_dir, use_as: bool):
+    """Run the reference noise-sweep protocol (test.py:34,94-103) via the
+    real tester CLI; returns {noise_points: accuracy}."""
+    from pointasnl_tpu.cli import test_modelnet
+
+    args = [
+        "--data", synthetic_shapes,
+        "--log_dir", log_dir,
+        "--batch_size", "8",
+        "--num_point", str(N_POINTS),
+        "--num_classes", "4",
+        "--num_votes", "3",
+        "--noise",
+    ]
+    if use_as:
+        args.append("--AS")
+    return test_modelnet.main(args)
+
+
+def test_full_recipe_learns_and_as_is_noise_robust(synthetic_shapes, tmp_path):
+    as_dir = str(tmp_path / "as")
+    noas_dir = str(tmp_path / "noas")
+
+    best_as = _train(synthetic_shapes, as_dir, use_as=True)
+    best_noas = _train(synthetic_shapes, noas_dir, use_as=False)
+
+    # The recipe must actually learn (4 classes, chance = 0.25).
+    assert best_as >= 0.8, f"AS recipe failed to learn: {best_as}"
+    assert best_noas >= 0.8, f"no-AS recipe failed to learn: {best_noas}"
+
+    # Epoch-numbered retention was active during a real run.
+    from pointasnl_tpu.train.checkpoint import list_epochs
+
+    assert len(list_epochs(as_dir)) == 3  # max_to_keep=3 over 16 epochs
+
+    # Noise robustness: vote eval with injected outlier points; AS must hold
+    # up at least as well as the plain model (reference README.md:53-59).
+    sweep_as = _noise_eval(synthetic_shapes, as_dir, use_as=True)
+    sweep_noas = _noise_eval(synthetic_shapes, noas_dir, use_as=False)
+    acc_as, acc_noas = sweep_as[50], sweep_noas[50]
+    assert acc_as >= 0.6, f"AS under noise collapsed: {sweep_as}"
+    assert acc_as >= acc_noas - 0.05, (sweep_as, sweep_noas)
