@@ -1,0 +1,94 @@
+"""Whole-scene single-pass inference at scales the dense attention map can't do.
+
+Runs the segmentation forward pass on ONE chip at N far beyond the
+reference's 8-10k crops, using the memory-bounded paths (blockwise NL
+attention + chunked kNN). Optionally attempts the dense path at the same N
+to demonstrate the OOM boundary (VERDICT r1 item 3's "bench line").
+
+Usage: python scripts/bench_whole_scene.py [--n 131072] [--block 4096] [--try-dense]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, ".")
+
+
+def forward_ms(model, points, iters=(1, 4)) -> float:
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        points[:, :2048],  # init on a small cloud; params are shape-agnostic
+        training=False,
+        bn_momentum=0.9,
+    )
+
+    def one(pts):
+        logits, _ = model.apply(variables, pts, training=False, bn_momentum=0.9)
+        # chain through the input so fori iterations are data-dependent
+        return pts + logits.sum() * 1e-12
+
+    def timed(n, salt):
+        run = jax.jit(lambda p: lax.fori_loop(0, n, lambda i, acc: one(acc), p))
+        # warm-up and timed inputs must differ: the tunnel serves
+        # byte-identical repeat dispatches from a cache.
+        out = run(points + 0.001 * salt)
+        jax.block_until_ready(out)
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(points + 0.002 * salt))
+        return time.perf_counter() - t0
+
+    lo, hi = iters
+    return (timed(hi, 1.0) - timed(lo, 2.0)) / (hi - lo) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=131072)
+    ap.add_argument("--block", type=int, default=4096)
+    ap.add_argument("--try-dense", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointasnl_tpu.models import PointASNLSemSeg
+
+    n = args.n - args.n % 256
+    rng = np.random.RandomState(0)
+    points = jnp.asarray(rng.randn(1, n, 3).astype(np.float32))
+    print(f"device: {jax.devices()[0].device_kind}; scene size N={n}")
+
+    model = PointASNLSemSeg(num_class=21, nl_kv_block_size=args.block)
+    ms = forward_ms(model, points)
+    print(
+        f"[blockwise nl_block={args.block}] single-pass forward: {ms:.1f} ms "
+        f"({n / ms * 1e3 / 1e6:.2f} M points/sec/chip)"
+    )
+
+    flash = PointASNLSemSeg(num_class=21, nl_use_flash=True)
+    ms = forward_ms(flash, points)
+    print(
+        f"[flash] single-pass forward: {ms:.1f} ms "
+        f"({n / ms * 1e3 / 1e6:.2f} M points/sec/chip)"
+    )
+
+    if args.try_dense:
+        try:
+            dense = PointASNLSemSeg(num_class=21)
+            ms = forward_ms(dense, points)
+            print(f"[dense] single-pass forward: {ms:.1f} ms")
+        except Exception as e:
+            print(f"[dense] FAILED at N={n}: {type(e).__name__}: {str(e)[:300]}")
+
+
+if __name__ == "__main__":
+    main()

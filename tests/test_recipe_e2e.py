@@ -15,6 +15,13 @@ import os
 import numpy as np
 import pytest
 
+# ~37 min on the CI CPU mesh — opt-in, so the default suite stays fast.
+# Last full run: see VALIDATION.md (passed 2026-08-16).
+pytestmark = pytest.mark.skipif(
+    not os.environ.get("POINTASNL_RUN_SLOW"),
+    reason="slow recipe validation; set POINTASNL_RUN_SLOW=1 to run",
+)
+
 N_POINTS = 320
 N_TRAIN_PER_CLASS = 24
 N_TEST_PER_CLASS = 8
