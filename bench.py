@@ -17,6 +17,13 @@ config, dominated by its per-layer host kNN round trips (tf.py_func at
 /root/reference/utils/pointasnl_util.py:62). Treat it as an order-of-
 magnitude anchor, not a measurement.
 
+Methodology note (r2): timing is forced by FETCHING a value computed from
+the final step of the chain. r1's numbers (and the r1-recorded 7.2M pts/s
+headline) used block_until_ready, which the tunneled TPU runtime satisfies
+before execution completes — those numbers were overlap illusions, ~100x
+too fast. Fetch-forced sustained throughput is what a real training loop
+experiences (it fetches metrics every step).
+
 MFU note: the denominator is the chip's bf16 MXU peak for both precisions —
 XLA's default f32 matmul path on TPU also runs through bf16 MXU passes.
 """
@@ -101,13 +108,17 @@ def bench_one(name: str, task: str, batch_size: int, num_point: int, dtype: str,
         flops = _flops_of(step.lower(state, batch, key).compile())
 
         # Warmup / compile.
-        state, _ = step(state, batch, key)
-        jax.block_until_ready(state.params)
+        state, m = step(state, batch, key)
+        float(m["loss"])
 
+        # Timing: the chain is forced by FETCHING a value computed from the
+        # final step. block_until_ready through the tunneled TPU runtime has
+        # been observed to return before execution (r1's numbers were overlap
+        # illusions, 100x too fast); a fetched loss cannot lie.
         t0 = time.perf_counter()
         for _ in range(n_iters):
-            state, _ = step(state, batch, key)
-        jax.block_until_ready(state.params)
+            state, m = step(state, batch, key)
+        _ = float(m["loss"])
         dt = (time.perf_counter() - t0) / n_iters
 
     peak = PEAK_FLOPS_BF16.get(jax.devices()[0].device_kind)
@@ -158,12 +169,12 @@ def main():
         return pts + logits.sum() * 1e-12
 
     x = chained_predict(state, points)
-    jax.block_until_ready(x)
+    float(x[0, 0, 0])
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         x = chained_predict(state, x)
-    jax.block_until_ready(x)
+    _ = float(x[0, 0, 0])  # fetch = the only trustworthy completion barrier
     eval_pps = 16 * 1024 * n_iters / (time.perf_counter() - t0)
 
     print(

@@ -69,7 +69,15 @@ gather_point = _g.gather_point
 group_point = _g.group_point
 three_interpolate = _g.three_interpolate
 prob_sample = _g.prob_sample
-repulsion_loss = _g.repulsion_loss
+
+
+def repulsion_loss(pred, nsample: int = 20, radius: float = 0.07, h: float = 0.03):
+    return _g.repulsion_loss(
+        pred, nsample=nsample, radius=radius, h=h, ball_query_fn=query_ball_point
+    )
+
+
+repulsion_loss.__doc__ = _g.repulsion_loss.__doc__
 
 
 def farthest_point_sample(npoint, xyz):
@@ -87,11 +95,11 @@ farthest_point_sample.__doc__ = _g.farthest_point_sample.__doc__
 
 
 def knn_point(k, support, query):
-    # The Pallas streaming kernel avoids the (B,M,N) HBM distance matrix but
-    # pays O(K·N) VPU selection; measured on v5e it does NOT beat the XLA
-    # top_k path at the parity shapes (see BENCH_OPS.md), so "auto" keeps the
-    # jnp path and the kernel is opt-in via backend="pallas".
-    if current_backend() == "pallas":
+    # XLA's top_k/sort lowering dominates whole train steps on this hardware
+    # (sustained fetch-forced timing, BENCH_OPS.md: seg step 996 ms with the
+    # top_k path vs 104 ms with the kernel), so "auto" on TPU uses the Pallas
+    # streaming kernel (sort-free min-extraction, VMEM-resident distances).
+    if _use_pallas():
         try:
             from pointasnl_tpu.ops.pallas import knn as _pknn
         except ImportError:
@@ -105,6 +113,13 @@ knn_point.__doc__ = _g.knn_point.__doc__
 
 
 def query_ball_point(radius, nsample, xyz, new_xyz):
+    if _use_pallas():
+        try:
+            from pointasnl_tpu.ops.pallas import ball_query as _pball
+        except ImportError:
+            pass
+        else:
+            return _pball.query_ball_point(radius, nsample, xyz, new_xyz)
     return _g.query_ball_point(radius, nsample, xyz, new_xyz)
 
 
@@ -112,6 +127,16 @@ query_ball_point.__doc__ = _g.query_ball_point.__doc__
 
 
 def three_nn(xyz1, xyz2):
+    # k=3 special case of the kNN kernel; gradient is blocked either way
+    # (the reference blocks it too, tf_interpolate.py:18).
+    if _use_pallas() and xyz2.shape[1] >= 3:
+        try:
+            from pointasnl_tpu.ops.pallas import knn as _pknn
+        except ImportError:
+            pass
+        else:
+            dist2, idx = _pknn.knn_point(3, xyz2, xyz1)
+            return jax.lax.stop_gradient(dist2), idx
     return _g.three_nn(xyz1, xyz2)
 
 
@@ -119,6 +144,12 @@ three_nn.__doc__ = _g.three_nn.__doc__
 
 
 def three_interpolate_idw(xyz1, xyz2, points2):
+    if _use_pallas():
+        dist2, idx = three_nn(xyz1, xyz2)  # pallas-backed on TPU
+        dist2 = jnp.maximum(dist2, 1e-10)
+        inv = 1.0 / dist2
+        weight = inv / jnp.sum(inv, axis=2, keepdims=True)
+        return _g.three_interpolate(points2, idx, weight)
     return _g.three_interpolate_idw(xyz1, xyz2, points2)
 
 

@@ -378,14 +378,19 @@ def grouping(
     return grouped_xyz, grouped_feature, idx
 
 
-def repulsion_loss(pred: Array, nsample: int = 20, radius: float = 0.07, h: float = 0.03) -> Array:
+def repulsion_loss(pred: Array, nsample: int = 20, radius: float = 0.07, h: float = 0.03,
+                   ball_query_fn=None) -> Array:
     """Uniformity (repulsion) penalty on sampled point positions.
 
     Matches utils/pointasnl_util.py:361-378: ball-query `nsample` neighbors in
     `radius`, take the 5 nearest (dropping self), and penalize
     mean(radius - dist * exp(-dist^2 / h^2)).
+
+    `ball_query_fn` lets ops.dispatch substitute the Pallas ball query (the
+    remaining top_k over nsample=20 lanes is tiny and stays in XLA).
     """
-    idx, _ = query_ball_point(radius, nsample, pred, pred)
+    ball = ball_query_fn or query_ball_point
+    idx, _ = ball(radius, nsample, pred, pred)
     grouped = group_point(pred, idx) - pred[:, :, None, :]
     dist2 = jnp.sum(jnp.square(grouped), axis=-1)  # (B, M, nsample)
     neg_top, _ = lax.top_k(-dist2, 5)

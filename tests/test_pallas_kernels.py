@@ -64,3 +64,27 @@ def test_pallas_knn_disjoint_query(rng):
     np.testing.assert_allclose(
         np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-5
     )
+
+
+@pytest.mark.parametrize("B,N,M,K,r", [(2, 256, 64, 32, 0.4), (1, 300, 50, 16, 0.25)])
+def test_pallas_ball_query_matches_oracle(rng, B, N, M, K, r):
+    from pointasnl_tpu.ops.pallas import ball_query as pball
+
+    xyz = jnp.asarray((rng.rand(B, N, 3) * 2 - 1).astype(np.float32))
+    new_xyz = xyz[:, :M]
+    with pltpu.force_tpu_interpret_mode():
+        got_i, got_c = pball.query_ball_point(r, K, xyz, new_xyz)
+    want_i, want_c = g.query_ball_point(r, K, xyz, new_xyz)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_array_equal(np.asarray(got_c), np.asarray(want_c))
+
+
+def test_pallas_ball_query_empty_ball(rng):
+    from pointasnl_tpu.ops.pallas import ball_query as pball
+
+    xyz = jnp.asarray(rng.randn(1, 128, 3).astype(np.float32) * 10)
+    far = jnp.asarray(np.full((1, 8, 3), 100.0, np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got_i, got_c = pball.query_ball_point(0.1, 8, xyz, far)
+    np.testing.assert_array_equal(np.asarray(got_i), 0)
+    np.testing.assert_array_equal(np.asarray(got_c), 0)
