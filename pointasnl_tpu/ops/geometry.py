@@ -116,7 +116,12 @@ def group_point(points: Array, idx: Array) -> Array:
 # Above this many (B*M*N) distance-matrix elements (= 1 GiB float32),
 # knn_point switches to the memory-bounded chunked path — whole-scene
 # single-pass shapes would otherwise materialize tens of GB in HBM.
-_DENSE_KNN_MAX_ELEMENTS = 2**28
+# Env-overridable for benchmarking the dense path at any size.
+import os as _os
+
+_DENSE_KNN_MAX_ELEMENTS = int(
+    _os.environ.get("POINTASNL_DENSE_KNN_MAX", 2**28)
+)
 
 
 def knn_point(k: int, support: Array, query: Array) -> Tuple[Array, Array]:

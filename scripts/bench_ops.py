@@ -18,28 +18,25 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def chain_time(fn, x, iters_lo=5, iters_hi=25):
-    """Per-iteration device time of `fn` (same-shape in/out), robustly.
+def chain_time(fn, x, iters=20):
+    """Per-iteration device time of `fn` (same-shape in/out), trustworthily.
 
-    Python-loop chaining is NOT trustworthy through the TPU tunnel: repeated
-    near-identical dispatches get cached/overlapped and ops report ~20 us
-    regardless of size. Instead the chain lives INSIDE one XLA program
-    (lax.fori_loop with a data-dependent carry), and the per-iteration time
-    is the slope between two loop lengths — dispatch overhead cancels.
+    Through the tunneled TPU runtime, block_until_ready returns before
+    execution completes and byte-identical repeat dispatches are served from
+    a cache — both produce fictional timings (in BOTH directions). The only
+    barrier observed to hold: FETCH a value computed from the final result.
+    The chain is data-dependent (each call consumes the previous output), so
+    the fetched scalar cannot exist until every iteration ran.
     """
     import jax
-    from jax import lax
 
-    def timed(iters):
-        run = jax.jit(
-            lambda x0: lax.fori_loop(0, iters, lambda i, acc: fn(acc), x0)
-        )
-        jax.block_until_ready(run(x))  # compile + warm
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(x))
-        return time.perf_counter() - t0
-
-    return (timed(iters_hi) - timed(iters_lo)) / (iters_hi - iters_lo) * 1e3
+    out = fn(x)
+    float(out.ravel()[0])  # compile + warm, fetch-forced
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        x = fn(x)
+    _ = float(x.ravel()[0])
+    return (time.perf_counter() - t0) / iters * 1e3
 
 
 def main():
