@@ -87,21 +87,25 @@ def farthest_point_sample(npoint: int, xyz: jax.Array) -> jax.Array:
     xyz = lax.stop_gradient(xyz)
     npad = _round_up(N, LANE)
     mpad = _round_up(npoint, LANE)
-    bpad = _round_up(B, SUBLANE_TILE)
+    # Clouds per grid step: 8 (a full sublane tile) while the ~6 working
+    # (bt, Np) buffers fit VMEM; shrinks toward 1 at whole-scene N.
+    budget_lanes = 2 ** 21  # ~8 MB of f32 working set
+    bt = max(1, min(SUBLANE_TILE, budget_lanes // (6 * npad), B))
+    bpad = _round_up(B, bt)
     x = jnp.swapaxes(xyz.astype(jnp.float32), 1, 2)  # (B, 3, N)
     x = jnp.pad(x, ((0, bpad - B), (0, 0), (0, npad - N)))
 
     kernel = functools.partial(_fps_kernel, npoint=npoint, n_real=N)
     out = pl.pallas_call(
         kernel,
-        grid=(bpad // SUBLANE_TILE,),
+        grid=(bpad // bt,),
         in_specs=[
             pl.BlockSpec(
-                (SUBLANE_TILE, 3, npad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
+                (bt, 3, npad), lambda b: (b, 0, 0), memory_space=pltpu.VMEM
             )
         ],
         out_specs=pl.BlockSpec(
-            (SUBLANE_TILE, mpad), lambda b: (b, 0), memory_space=pltpu.VMEM
+            (bt, mpad), lambda b: (b, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((bpad, mpad), jnp.int32),
         cost_estimate=pl.CostEstimate(

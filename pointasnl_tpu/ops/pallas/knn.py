@@ -1,25 +1,29 @@
 """Fused streaming kNN Pallas TPU kernel.
 
 The jnp reference (ops/geometry.py:knn_point) materializes the full
-(B, M, N) squared-distance matrix in HBM and runs lax.top_k over it — at
-segmentation scale (B=4, M=1280, N=10240) that is a ~210 MB HBM round trip
-per kNN call, twice per SA layer. This kernel never leaves the chip: one
-grid cell per (cloud, query tile) holds the (3, N) support and a
-(TILE_M, N) distance block in VMEM, computes distances on the MXU
-((TILE_M,3)@(3,N)), and extracts the K nearest by iterative
-min-extraction with lane invalidation (the same max/min+first-lane-select
-reduction pattern as ops/pallas/fps.py, which lowers reliably on Mosaic).
+(B, M, N) squared-distance matrix in HBM and runs lax.top_k over it — and
+XLA's sort/top_k lowering dominates entire train steps on this hardware
+(measured 996 ms vs 104 ms per seg train step, BENCH_OPS.md). This kernel
+never materializes distances in HBM and never sorts: the grid streams
+(query-tile, support-chunk) pairs, each step computes a (TILE_M, TILE_N)
+distance block on the MXU and folds it into a running top-k that lives in
+the revisited output block (TPU grid steps are sequential, so the
+accumulation is race-free). VMEM usage is bounded by TILE_N regardless of N,
+so the same kernel serves the parity crops (N ~ 1-10k) and whole-scene
+single-pass inference (N ~ 10^5+).
 
-Selection cost is O(K·N) VPU work per query tile — more arithmetic than
-XLA's partial-sort top-k — so the net win depends on the HBM traffic saved;
-adoption is measurement-gated in ops/dispatch.py (see scripts/bench_ops.py
-and BENCH_OPS.md for the recorded comparison, VERDICT r1 item 2).
+Selection is iterative min-extraction with lane invalidation — O(K·N) VPU
+work per query. (A 2-pass read-only threshold variant measured 30% slower
+on v5e; sorting-network alternatives pencil out within ~2x — see
+BENCH_OPS.md.)
 
 Semantics match the jnp oracle / reference contract
 (utils/nearest_neighbors/knn_.cxx:104-135 via tf.py_func, and
 tf_ops/grouping/tf_grouping.py:48-73):
   - exact k nearest by squared euclidean distance, ascending;
-  - ties broken toward the lower support index (lax.top_k-stable);
+  - ties broken toward the lower support index (lax.top_k-stable): support
+    chunks arrive in ascending index order and the running list is kept
+    sorted, so earlier indices always win ties;
   - when query ⊂ support, the query point is its own first neighbor.
 """
 
@@ -35,6 +39,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 LANE = 128
 TILE_M = 128
+TILE_N = 4096  # support chunk of the streaming kernel; bounds VMEM at any N
+# Up to this support size the whole (TILE_M, N) distance block stays resident
+# in VMEM scratch (8 MB at 16384) — measured 2.2x faster than the streaming
+# merge at parity scales, which pays per-chunk top-k read-modify-writes.
+RESIDENT_MAX_N = 16384
 _INF = 3e38  # python float: jnp constants would be captured tracers
 
 
@@ -42,22 +51,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _knn_kernel(q_ref, s_ref, s2_ref, dist_ref, idx_ref, d2_scratch,
-                *, k: int, n_real: int):
-    # q_ref:  (1, TILE_M, 4) padded query xyz (4th column zero)
-    # s_ref:  (1, 4, Np) padded support xyz, transposed
-    # s2_ref: (1, 1, Np) support squared norms (padded lanes = +inf)
-    # dist_ref/idx_ref: (1, TILE_M, Kp)
-    # d2_scratch: (TILE_M, Np) f32
-    q = q_ref[0]  # (TILE_M, 4)
-    s = s_ref[0]  # (4, Np)
+def _knn_kernel_resident(q_ref, s_ref, s2_ref, dist_ref, idx_ref, d2_scratch,
+                         *, k: int):
+    # Full support resident: q (1,TM,4); s (1,4,Np); s2 (1,1,Np);
+    # outputs (1,TM,Kp); d2_scratch (TM,Np).
+    q = q_ref[0]
+    s = s_ref[0]
     npad = s.shape[-1]
     kp = dist_ref.shape[-1]
 
-    # d2 = |q|^2 - 2 q.s + |s|^2 ; |s|^2 is precomputed with +inf padding so
-    # padded support lanes can never be selected.
-    qs = jnp.dot(q, s, preferred_element_type=jnp.float32)  # (TILE_M, Np) MXU
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)  # (TILE_M, 1)
+    qs = jnp.dot(q, s, preferred_element_type=jnp.float32)  # (TM, Np) MXU
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
     d2_scratch[:] = q2 - 2.0 * qs + s2_ref[0]
 
     lane_ids = lax.broadcasted_iota(jnp.int32, (TILE_M, npad), dimension=1)
@@ -66,14 +70,13 @@ def _knn_kernel(q_ref, s_ref, s2_ref, dist_ref, idx_ref, d2_scratch,
     def body(j, carry):
         # Iterative min-extraction with lane invalidation. (A 2-pass
         # read-only threshold variant was measured 30% SLOWER on v5e — the
-        # extra mask arithmetic outweighs the saved write; Mosaic fuses the
-        # elementwise chains either way.)
-        dists, idxs = carry  # (TILE_M, Kp) f32 / i32
+        # extra mask arithmetic outweighs the saved write.)
+        dists, idxs = carry
         d2 = d2_scratch[:]
-        md = jnp.min(d2, axis=1, keepdims=True)  # (TILE_M, 1)
+        md = jnp.min(d2, axis=1, keepdims=True)
         # argmin = first lane attaining the min (stable tie-break, like top_k)
         cand = jnp.where(d2 == md, lane_ids, jnp.int32(npad))
-        mi = jnp.min(cand, axis=1, keepdims=True)  # (TILE_M, 1)
+        mi = jnp.min(cand, axis=1, keepdims=True)
         dists = jnp.where(out_lanes == j, md, dists)
         idxs = jnp.where(out_lanes == j, mi, idxs)
         d2_scratch[:] = jnp.where(lane_ids == mi, _INF, d2)
@@ -82,11 +85,58 @@ def _knn_kernel(q_ref, s_ref, s2_ref, dist_ref, idx_ref, d2_scratch,
     dists0 = jnp.zeros((TILE_M, kp), jnp.float32)
     idxs0 = jnp.zeros((TILE_M, kp), jnp.int32)
     dists, idxs = lax.fori_loop(0, k, body, (dists0, idxs0))
-    # Clamp the (distance-0-from-origin) artifacts of padded QUERY rows is
-    # unnecessary: callers slice rows to the real M. Padded-support lanes are
-    # excluded via the +inf in s2. Distances may carry tiny negative values
-    # from the quadratic expansion; clamp to 0 to match |q-s|^2 >= 0.
     dist_ref[0] = jnp.maximum(dists, 0.0)
+    idx_ref[0] = idxs
+
+
+def _knn_kernel(q_ref, s_ref, s2_ref, dist_ref, idx_ref, *, k: int, tn: int):
+    # q_ref:  (1, TILE_M, 4) padded query xyz (4th column zero)
+    # s_ref:  (1, 4, TILE_N) support chunk, transposed
+    # s2_ref: (1, 1, TILE_N) support squared norms (+inf beyond N)
+    # dist_ref/idx_ref: (1, TILE_M, Kp) — running top-k, revisited across
+    #   support chunks (grid dim 2)
+    nt = pl.program_id(2)
+    q = q_ref[0]  # (TILE_M, 4)
+    s = s_ref[0]  # (4, TILE_N)
+    kp = dist_ref.shape[-1]
+
+    qs = jnp.dot(q, s, preferred_element_type=jnp.float32)  # (TILE_M, TILE_N)
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
+    d2c = q2 - 2.0 * qs + s2_ref[0]  # +inf on padded support lanes
+
+    base = nt * tn
+    chunk_ids = base + lax.broadcasted_iota(jnp.int32, d2c.shape, dimension=1)
+
+    @pl.when(nt == 0)
+    def _():
+        dist_ref[0] = jnp.full(dist_ref.shape[1:], _INF, jnp.float32)
+        idx_ref[0] = jnp.zeros(idx_ref.shape[1:], jnp.int32)
+
+    # Candidates = running top-k (sorted, lower global indices — ties keep
+    # the earlier index by first-position stability) ++ this chunk.
+    cand_d = jnp.concatenate([dist_ref[0], d2c], axis=1)  # (TILE_M, Kp+Tn)
+    cand_i = jnp.concatenate([idx_ref[0], chunk_ids], axis=1)
+    pos = lax.broadcasted_iota(jnp.int32, cand_d.shape, dimension=1)
+    npos = cand_d.shape[-1]
+    out_lanes = lax.broadcasted_iota(jnp.int32, (TILE_M, kp), dimension=1)
+
+    def body(j, carry):
+        cd, dists, idxs = carry
+        md = jnp.min(cd, axis=1, keepdims=True)  # (TILE_M, 1)
+        # first position attaining the min (stable tie-break, like top_k)
+        first = jnp.min(
+            jnp.where(cd == md, pos, jnp.int32(npos)), axis=1, keepdims=True
+        )
+        mi = jnp.sum(jnp.where(pos == first, cand_i, 0), axis=1, keepdims=True)
+        dists = jnp.where(out_lanes == j, md, dists)
+        idxs = jnp.where(out_lanes == j, mi, idxs)
+        cd = jnp.where(pos == first, _INF, cd)  # invalidate extracted slot
+        return cd, dists, idxs
+
+    dists0 = jnp.full((TILE_M, kp), _INF, jnp.float32)
+    idxs0 = jnp.zeros((TILE_M, kp), jnp.int32)
+    _, dists, idxs = lax.fori_loop(0, k, body, (cand_d, dists0, idxs0))
+    dist_ref[0] = dists
     idx_ref[0] = idxs
 
 
@@ -99,15 +149,23 @@ def knn_point(k: int, support: jax.Array, query: jax.Array):
     """
     B, N, _ = support.shape
     M = query.shape[1]
+    if k > N:
+        # Degenerate k > N repeats the farthest valid neighbor — rare and
+        # small; the jnp oracle handles it.
+        from pointasnl_tpu.ops import geometry as _g
+
+        return _g.knn_point(k, support, query)
     support = lax.stop_gradient(support.astype(jnp.float32))
     query = lax.stop_gradient(query.astype(jnp.float32))
 
-    npad = _round_up(N, LANE)
+    resident = N <= RESIDENT_MAX_N
+    tn = _round_up(N, LANE) if resident else min(TILE_N, _round_up(N, LANE))
+    npad = _round_up(N, tn)
     mpad = _round_up(M, TILE_M)
     kp = _round_up(k, LANE)
 
     # Support transposed to (B, 4, Np): xyz rows padded with a zero 4th row so
-    # the MXU contraction dim is 4; padded lanes contribute via s2 = +inf.
+    # the MXU contraction dim is 4; padded lanes are excluded via s2 = +inf.
     s = jnp.swapaxes(support, 1, 2)  # (B, 3, N)
     s = jnp.pad(s, ((0, 0), (0, 1), (0, npad - N)))
     s2 = jnp.sum(s * s, axis=1, keepdims=True)  # (B, 1, Np)
@@ -116,30 +174,53 @@ def knn_point(k: int, support: jax.Array, query: jax.Array):
 
     q = jnp.pad(query, ((0, 0), (0, mpad - M), (0, 1)))  # (B, Mp, 4)
 
-    kernel = functools.partial(_knn_kernel, k=k, n_real=N)
-    grid = (B, mpad // TILE_M)
-    dist, idx = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
+    if resident:
+        kernel = functools.partial(_knn_kernel_resident, k=k)
+        grid = (B, mpad // TILE_M)
+        in_specs = [
             pl.BlockSpec((1, TILE_M, 4), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 4, npad), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, npad), lambda b, m: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
+        ]
+        out_specs = (
             pl.BlockSpec((1, TILE_M, kp), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_M, kp), lambda b, m: (b, m, 0),
                          memory_space=pltpu.VMEM),
-        ),
+        )
+        scratch = [pltpu.VMEM((TILE_M, npad), jnp.float32)]
+    else:
+        kernel = functools.partial(_knn_kernel, k=k, tn=tn)
+        grid = (B, mpad // TILE_M, npad // tn)
+        in_specs = [
+            pl.BlockSpec((1, TILE_M, 4), lambda b, m, n: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 4, tn), lambda b, m, n: (b, 0, n),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tn), lambda b, m, n: (b, 0, n),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_specs = (
+            pl.BlockSpec((1, TILE_M, kp), lambda b, m, n: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_M, kp), lambda b, m, n: (b, m, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        scratch = []
+
+    dist, idx = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_specs,
         out_shape=(
             jax.ShapeDtypeStruct((B, mpad, kp), jnp.float32),
             jax.ShapeDtypeStruct((B, mpad, kp), jnp.int32),
         ),
-        scratch_shapes=[pltpu.VMEM((TILE_M, npad), jnp.float32)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=B * mpad * npad * (8 + 4 * k),
             bytes_accessed=B * (mpad * 4 + 4 * npad + 2 * mpad * kp) * 4,

@@ -19,10 +19,8 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def forward_ms(model, points, iters=(1, 4)) -> float:
+def forward_ms(model, points) -> float:
     import jax
-    import jax.numpy as jnp
-    from jax import lax
 
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
@@ -36,18 +34,18 @@ def forward_ms(model, points, iters=(1, 4)) -> float:
         # chain through the input so fori iterations are data-dependent
         return pts + logits.sum() * 1e-12
 
-    def timed(n, salt):
-        run = jax.jit(lambda p: lax.fori_loop(0, n, lambda i, acc: one(acc), p))
-        # warm-up and timed inputs must differ: the tunnel serves
-        # byte-identical repeat dispatches from a cache.
-        out = run(points + 0.001 * salt)
-        jax.block_until_ready(out)
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(points + 0.002 * salt))
-        return time.perf_counter() - t0
-
-    lo, hi = iters
-    return (timed(hi, 1.0) - timed(lo, 2.0)) / (hi - lo) * 1e3
+    # Per-call fetch-forced timing (no fori chaining: wrapping the model in a
+    # while loop makes XLA stack-allocate kernel outputs in scoped VMEM and
+    # OOM at scene scale). ~2 ms/call of dispatch overhead is negligible here.
+    run = jax.jit(one)
+    x = run(points)
+    float(x[0, 0, 0])  # compile + warm
+    n = 4
+    t0 = time.perf_counter()
+    for _ in range(n):
+        x = run(x)
+    _ = float(x[0, 0, 0])  # fetch = the only trustworthy completion barrier
+    return (time.perf_counter() - t0) / n * 1e3
 
 
 def main():

@@ -88,3 +88,24 @@ def test_pallas_ball_query_empty_ball(rng):
         got_i, got_c = pball.query_ball_point(0.1, 8, xyz, far)
     np.testing.assert_array_equal(np.asarray(got_i), 0)
     np.testing.assert_array_equal(np.asarray(got_c), 0)
+
+
+def test_pallas_knn_multi_chunk_streaming(rng):
+    """N spanning several support chunks merges identically to the oracle."""
+    from pointasnl_tpu.ops.pallas import knn as pknn
+
+    old = (pknn.TILE_N, pknn.RESIDENT_MAX_N)
+    pknn.TILE_N = 128  # force multi-chunk at test sizes
+    pknn.RESIDENT_MAX_N = 0  # force the streaming kernel
+    try:
+        support = jnp.asarray(rng.randn(2, 700, 3).astype(np.float32))
+        query = support[:, :150]
+        with pltpu.force_tpu_interpret_mode():
+            got_d, got_i = pknn.knn_point(16, support, query)
+        want_d, want_i = g.knn_point(16, support, query)
+        np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+        np.testing.assert_allclose(
+            np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-5
+        )
+    finally:
+        pknn.TILE_N, pknn.RESIDENT_MAX_N = old
