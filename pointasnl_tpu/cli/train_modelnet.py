@@ -221,8 +221,10 @@ def main(argv=None):
                     {"points": place_batch(batch_data), "labels": place_batch(batch_label)},
                     dropout_rng,
                 )
-                loss_sum += float(metrics["loss"])
-                total_correct += float(metrics["accuracy"]) * flags.batch_size
+                # accumulate ON DEVICE -- a host fetch per step costs
+                # ~35 ms through the tunneled runtime (BENCH_OPS.md)
+                loss_sum = loss_sum + metrics["loss"]
+                total_correct = total_correct + metrics["accuracy"] * flags.batch_size
                 total_seen += bsize
                 num_batches += 1
                 if tracing and num_batches >= profile_steps:

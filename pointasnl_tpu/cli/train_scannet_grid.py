@@ -234,7 +234,9 @@ def main(argv=None):
                 },
                 dropout_rng,
             )
-            loss_sum += float(metrics["loss"])
+            # on-device accumulation: a host fetch per step costs ~35 ms
+            # through the tunneled runtime (BENCH_OPS.md)
+            loss_sum = loss_sum + metrics["loss"]
             nsteps += 1
         log(
             f"train loss {loss_sum / max(nsteps, 1):.4f} "

@@ -170,7 +170,9 @@ def main(argv=None):
                 },
                 dropout_rng,
             )
-            loss_sum += float(metrics["loss"])
+            # on-device accumulation: a host fetch per step costs ~35 ms
+            # through the tunneled runtime (BENCH_OPS.md)
+            loss_sum = loss_sum + metrics["loss"]
         log(
             f"train loss {loss_sum / max(num_batches, 1):.4f} "
             f"({time.time() - t0:.1f}s, lr {float(lr_sched(state.step)):.6f})"

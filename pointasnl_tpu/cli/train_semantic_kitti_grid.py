@@ -164,7 +164,9 @@ def main(argv=None):
                 },
                 dropout_rng,
             )
-            loss_sum += float(metrics["loss"])
+            # on-device accumulation: a host fetch per step costs ~35 ms
+            # through the tunneled runtime (BENCH_OPS.md)
+            loss_sum = loss_sum + metrics["loss"]
             nsteps += 1
             if nsteps >= max_steps:
                 break
