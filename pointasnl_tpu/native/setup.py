@@ -20,5 +20,13 @@ setup(
             extra_compile_args=["-O3", "-std=c++17"],
             language="c++",
         ),
+        Extension(
+            "pointasnl_tpu.native.host_knn_ext",
+            sources=[os.path.join(HERE, "csrc", "host_knn_ext.cpp")],
+            include_dirs=[np.get_include()],
+            extra_compile_args=["-O3", "-std=c++17", "-fopenmp"],
+            extra_link_args=["-fopenmp"],
+            language="c++",
+        ),
     ],
 )

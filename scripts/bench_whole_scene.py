@@ -72,11 +72,20 @@ def main():
         f"({n / ms * 1e3 / 1e6:.2f} M points/sec/chip)"
     )
 
+    # The flash kernel holds K/V resident in VMEM — its domain is crop scale
+    # (N <= ~16k); blockwise streaming covers whole-scene N.
+    n_flash = min(n, 16384)
     flash = PointASNLSemSeg(num_class=21, nl_use_flash=True)
-    ms = forward_ms(flash, points)
+    ms = forward_ms(flash, points[:, :n_flash])
     print(
-        f"[flash] single-pass forward: {ms:.1f} ms "
-        f"({n / ms * 1e3 / 1e6:.2f} M points/sec/chip)"
+        f"[flash, N={n_flash}] single-pass forward: {ms:.1f} ms "
+        f"({n_flash / ms * 1e3 / 1e6:.2f} M points/sec/chip)"
+    )
+    base = PointASNLSemSeg(num_class=21)
+    ms = forward_ms(base, points[:, :n_flash])
+    print(
+        f"[dense NL, N={n_flash}] single-pass forward: {ms:.1f} ms "
+        f"({n_flash / ms * 1e3 / 1e6:.2f} M points/sec/chip)"
     )
 
     if args.try_dense:

@@ -113,3 +113,16 @@ def test_mesh_rasterize(rng):
     assert pts.shape[0] == vert_inds.shape[0]
     assert pts.shape[0] > len(verts)  # densified
     assert vert_inds.max() < len(verts)
+
+
+def test_native_knn_ext_matches_bruteforce(rng):
+    """The C++ KD-tree extension vs an exact numpy oracle (sorted, stable)."""
+    ext = pytest.importorskip("pointasnl_tpu.native.host_knn_ext")
+    pts = rng.randn(500, 3).astype(np.float32)
+    q = rng.randn(80, 3).astype(np.float32)
+    got = ext.knn(pts, q, 12, omp=True)
+    d2 = ((q[:, None, :] - pts[None]) ** 2).sum(-1)
+    want = np.argsort(d2, axis=1, kind="stable")[:, :12]
+    np.testing.assert_array_equal(got, want)
+    got_b = ext.knn_batch(pts[None].repeat(2, 0), q[None].repeat(2, 0), 12, omp=True)
+    np.testing.assert_array_equal(got_b[1], want)
