@@ -38,9 +38,10 @@ def _ball_kernel(q_ref, s_ref, s2_ref, idx_ref, cnt_ref, *,
     npad = s.shape[-1]
     kp = idx_ref.shape[-1]
 
-    qs = jnp.dot(q, s, preferred_element_type=jnp.float32)  # (TILE_M, Np)
+    qs = jnp.dot(q, s, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)  # (TILE_M, Np)
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    d2 = q2 - 2.0 * qs + s2_ref[0]  # padded lanes -> +inf via s2
+    d2 = jnp.maximum((q2 + s2_ref[0]) - 2.0 * qs, 0.0)  # pads stay +inf
 
     lane_ids = lax.broadcasted_iota(jnp.int32, (TILE_M, npad), dimension=1)
     out_lanes = lax.broadcasted_iota(jnp.int32, (TILE_M, kp), dimension=1)

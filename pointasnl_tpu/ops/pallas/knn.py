@@ -60,9 +60,10 @@ def _knn_kernel_resident(q_ref, s_ref, s2_ref, dist_ref, idx_ref, d2_scratch,
     npad = s.shape[-1]
     kp = dist_ref.shape[-1]
 
-    qs = jnp.dot(q, s, preferred_element_type=jnp.float32)  # (TM, Np) MXU
+    qs = jnp.dot(q, s, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)  # (TM, Np) MXU
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    d2_scratch[:] = q2 - 2.0 * qs + s2_ref[0]
+    d2_scratch[:] = jnp.maximum((q2 + s2_ref[0]) - 2.0 * qs, 0.0)
 
     lane_ids = lax.broadcasted_iota(jnp.int32, (TILE_M, npad), dimension=1)
     out_lanes = lax.broadcasted_iota(jnp.int32, (TILE_M, kp), dimension=1)
@@ -100,9 +101,11 @@ def _knn_kernel(q_ref, s_ref, s2_ref, dist_ref, idx_ref, *, k: int, tn: int):
     s = s_ref[0]  # (4, TILE_N)
     kp = dist_ref.shape[-1]
 
-    qs = jnp.dot(q, s, preferred_element_type=jnp.float32)  # (TILE_M, TILE_N)
+    qs = jnp.dot(q, s, preferred_element_type=jnp.float32,
+                 precision=lax.Precision.HIGHEST)  # (TILE_M, TILE_N)
     q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    d2c = q2 - 2.0 * qs + s2_ref[0]  # +inf on padded support lanes
+    # oracle-order arithmetic + clamp; +inf survives on padded lanes
+    d2c = jnp.maximum((q2 + s2_ref[0]) - 2.0 * qs, 0.0)
 
     base = nt * tn
     chunk_ids = base + lax.broadcasted_iota(jnp.int32, d2c.shape, dimension=1)
@@ -140,21 +143,48 @@ def _knn_kernel(q_ref, s_ref, s2_ref, dist_ref, idx_ref, *, k: int, tn: int):
     idx_ref[0] = idxs
 
 
-@functools.partial(jax.jit, static_argnums=0)
+def _spatial_mode() -> str:
+    import os
+
+    return os.environ.get("POINTASNL_KNN_SPATIAL", "auto")
+
+
 def knn_point(k: int, support: jax.Array, query: jax.Array):
     """Pallas kNN: support (B,N,3), query (B,M,3) -> (dist2, idx) (B,M,k).
+
+    Routing (POINTASNL_KNN_SPATIAL={auto,always,never} overrides):
+      - k > N: jnp oracle (degenerate padding semantics);
+      - N <= RESIDENT_MAX_N: VMEM-resident full-scan kernel (fastest at the
+        parity crop scales — measured vs the spatial kernel, BENCH_OPS.md);
+      - larger N: the Morton/bounding-sphere pruned kernel (knn_spatial.py),
+        measured 5.4x the streaming scan at N=131072;
+      - beyond its VMEM cap: the streaming chunk kernel.
 
     Gradients are cut (the reference's kNN runs under tf.py_func and carries
     none; downstream layers differentiate through the gather, not the search).
     """
-    B, N, _ = support.shape
-    M = query.shape[1]
+    N = support.shape[1]
     if k > N:
         # Degenerate k > N repeats the farthest valid neighbor — rare and
         # small; the jnp oracle handles it.
         from pointasnl_tpu.ops import geometry as _g
 
         return _g.knn_point(k, support, query)
+    mode = _spatial_mode()
+    if mode == "always" or (mode != "never" and N > RESIDENT_MAX_N):
+        from pointasnl_tpu.ops.pallas import knn_spatial as _ks
+
+        if k <= _ks.KP and N <= _ks.MAX_SPATIAL_N:
+            # Called OUTSIDE any jit wrapper of ours so knn_spatial can see
+            # whether query IS support (the self-kNN layers pass xyz twice).
+            return _ks.knn_point(k, support, query)
+    return _knn_scan(k, support, query)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _knn_scan(k: int, support: jax.Array, query: jax.Array):
+    B, N, _ = support.shape
+    M = query.shape[1]
     support = lax.stop_gradient(support.astype(jnp.float32))
     query = lax.stop_gradient(query.astype(jnp.float32))
 

@@ -1,0 +1,281 @@
+"""Spatially-pruned exact kNN Pallas TPU kernel.
+
+The resident/streaming kernels in ops/pallas/knn.py scan EVERY support point
+per query tile; their sort-free K-selection is VPU-bound at ~O(K·N) work per
+query, and the layer0 self-kNN (10240x10240, k=32) alone costs ~25 ms of the
+80 ms seg train step (BENCH_OPS.md). This kernel prunes that work with exact
+geometry instead of approximating it:
+
+  1. Support points are Morton-sorted (host-free, jnp bit ops + one XLA
+     argsort) and packed into VMEM-resident segments of SEG_W points with
+     bounding-sphere stats (center, radius).
+  2. Query points are sorted on the same grid and tiled by TILE_M, giving
+     each tile its own bounding sphere.
+  3. Per (tile, segment), a lower bound on any query-support distance is
+     lb = max(0, |qc - sc| - qr - sr).  Segments are visited nearest-first
+     (a tiny (T, S) argsort), and the kernel's while-loop STOPS as soon as
+     the next segment's lb exceeds the tile's current worst kth distance —
+     every remaining segment provably cannot contribute a neighbor.
+  4. Visited segments compute a (TILE_M, SEG_W) distance block on the MXU
+     and fold it into the running top-k ONLY if the block minimum beats the
+     tile bound (most late segments don't).
+
+Pruning is exact, not approximate: a segment is skipped only when its
+lower bound (shrunk by a relative epsilon to absorb the float32 expansion
+error of d2 = |q|^2 - 2 q.s + |s|^2) proves no candidate can displace any
+current top-k entry, including ties.
+
+Tie-break parity with the oracle (lax.top_k stability = lowest support index
+wins) is kept explicitly: the merge extracts by lexicographic (d2, original
+index) minima — original ids ride through the kernel as exact float32
+integers, so results need no index remapping, only a row unsort.
+
+Reference contract: utils/nearest_neighbors/knn_.cxx:104-135 (nanoflann
+KD-tree under tf.py_func) — this kernel is its TPU-native answer: the same
+"prune by spatial bounds" idea, restructured from a pointer-chasing tree to
+sorted segment spheres so the scan stays on the MXU/VPU with static shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_M = 128  # queries per tile
+SEG_W = 256  # support points per segment
+KP = 128  # running top-k lanes (k <= KP)
+# VMEM cap for the resident packed support (S * 8 * SEG_W * 4 bytes).
+MAX_SPATIAL_N = 1 << 18
+_INF = 3e38
+_BIGID = 3e38
+# Relative shrink applied to lower bounds so float32 error in the distance
+# expansion can never cause an over-eager skip.
+_LB_SHRINK = 1.0 - 1e-5
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _spread3(v):
+    """Spread 10 bits of v to every 3rd bit (Morton interleave helper)."""
+    v = v.astype(jnp.uint32)
+    v = (v | (v << 16)) & jnp.uint32(0x030000FF)
+    v = (v | (v << 8)) & jnp.uint32(0x0300F00F)
+    v = (v | (v << 4)) & jnp.uint32(0x030C30C3)
+    v = (v | (v << 2)) & jnp.uint32(0x09249249)
+    return v
+
+
+def _morton_codes(xyz, lo, hi):
+    """30-bit Morton codes of xyz quantized to a 1024^3 grid over [lo, hi]."""
+    scale = 1023.0 / jnp.maximum(hi - lo, 1e-9)
+    q = jnp.clip(((xyz - lo) * scale), 0.0, 1023.0).astype(jnp.int32)
+    return (
+        _spread3(q[..., 0]) | (_spread3(q[..., 1]) << 1) | (_spread3(q[..., 2]) << 2)
+    ).astype(jnp.int32)
+
+
+def _sphere(points):
+    """Bounding sphere (center, radius) over axis -2 of (..., W, 3) points."""
+    lo = jnp.min(points, axis=-2)
+    hi = jnp.max(points, axis=-2)
+    c = 0.5 * (lo + hi)
+    r2 = jnp.max(jnp.sum(jnp.square(points - c[..., None, :]), axis=-1), axis=-1)
+    return c, jnp.sqrt(r2)
+
+
+def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, dist_ref, idx_ref,
+                        *, k: int, n_seg: int):
+    # q_ref:    (1, TILE_M, 4) sorted query xyz (4th column zero)
+    # pack_ref: (1, S, 8, SEG_W) — rows x, y, z, 0, |s|^2 (+inf pad), id, 0, 0
+    # order_ref:(1, 1, S + 1) int32 SMEM — segment visit order, nearest first
+    # lbs_ref:  (1, 1, S + 1) f32 SMEM — matching lower bounds; +inf sentinel
+    # dist/idx: (1, TILE_M, KP)
+    q = q_ref[0]  # (TILE_M, 4)
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)  # (TILE_M, 1)
+    out_lanes = lax.broadcasted_iota(jnp.int32, (TILE_M, KP), dimension=1)
+
+    def merge(run_d, run_i, d2, ids):
+        cd = jnp.concatenate([run_d, d2], axis=1)  # (TILE_M, KP + SEG_W)
+        ci = jnp.concatenate([run_i, jnp.broadcast_to(ids, d2.shape)], axis=1)
+
+        def body(j, carry):
+            cd, nd, ni = carry
+            md = jnp.min(cd, axis=1, keepdims=True)
+            # lowest original id among distance ties — the oracle's stability
+            mi = jnp.min(jnp.where(cd == md, ci, _BIGID), axis=1, keepdims=True)
+            nd = jnp.where(out_lanes == j, md, nd)
+            ni = jnp.where(out_lanes == j, mi, ni)
+            cd = jnp.where((cd == md) & (ci == mi), _INF, cd)
+            return cd, nd, ni
+
+        nd0 = jnp.full((TILE_M, KP), _INF, jnp.float32)
+        ni0 = jnp.zeros((TILE_M, KP), jnp.float32)
+        _, nd, ni = lax.fori_loop(0, k, body, (cd, nd0, ni0))
+        return nd, ni
+
+    def cond(carry):
+        s, lb, bound, _, _ = carry
+        return (s < n_seg) & (lb <= bound)
+
+    def step(carry):
+        s, _, bound, run_d, run_i = carry
+        seg = order_ref[0, 0, s]
+        blk = pack_ref[0, seg]  # (8, SEG_W)
+        qs = jnp.dot(q, blk[0:4, :], preferred_element_type=jnp.float32,
+                     precision=lax.Precision.HIGHEST)
+        # oracle-order arithmetic + clamp (ties at 0.0 resolve by index)
+        d2 = jnp.maximum((q2 + blk[4:5, :]) - 2.0 * qs, 0.0)
+        blkmin = jnp.min(d2)
+
+        def do_merge(args):
+            run_d, run_i = args
+            nd, ni = merge(run_d, run_i, d2, blk[5:6, :])
+            return nd, ni, jnp.max(nd[:, k - 1 : k])
+
+        run_d, run_i, bound = lax.cond(
+            blkmin <= bound, do_merge, lambda a: (a[0], a[1], bound), (run_d, run_i)
+        )
+        return s + 1, lbs_ref[0, 0, s + 1], bound, run_d, run_i
+
+    init = (
+        jnp.int32(0),
+        lbs_ref[0, 0, 0],
+        jnp.float32(_INF),
+        jnp.full((TILE_M, KP), _INF, jnp.float32),
+        jnp.zeros((TILE_M, KP), jnp.float32),
+    )
+    _, _, _, run_d, run_i = lax.while_loop(cond, step, init)
+    dist_ref[0] = jnp.maximum(run_d, 0.0)
+    idx_ref[0] = run_i.astype(jnp.int32)
+
+
+def knn_point(k: int, support: jax.Array, query: jax.Array):
+    """Spatially-pruned exact kNN: support (B,N,3), query (B,M,3) -> (B,M,k).
+
+    Same contract as ops.geometry.knn_point (ascending squared distances,
+    lowest-index tie-breaks, query-in-support self-match). Gradients are cut,
+    like every kNN path (the reference's ran under tf.py_func).
+    """
+    N = support.shape[1]
+    if k > N or k > KP or N > MAX_SPATIAL_N:
+        from pointasnl_tpu.ops.pallas import knn as _pknn
+
+        return _pknn.knn_point(k, support, query)
+    # The identity check must happen OUTSIDE the jit boundary: inside,
+    # support and query are distinct tracers even when the caller passed the
+    # same array (the self-kNN layers do — grouping passes xyz twice).
+    if query is support:
+        return _knn_spatial(k, support, None)
+    return _knn_spatial(k, support, query)
+
+
+@functools.partial(jax.jit, static_argnums=0)
+def _knn_spatial(k: int, support: jax.Array, query):
+    B, N, _ = support.shape
+    support = lax.stop_gradient(support.astype(jnp.float32))
+    self_query = query is None
+    if self_query:
+        query = support
+    else:
+        query = lax.stop_gradient(query.astype(jnp.float32))
+    M = query.shape[1]
+
+    npad = _round_up(N, SEG_W)
+    mpad = _round_up(M, TILE_M)
+    n_seg = npad // SEG_W
+    n_tile = mpad // TILE_M
+
+    lo = jnp.min(support, axis=1, keepdims=True)
+    hi = jnp.max(support, axis=1, keepdims=True)
+    perm = jnp.argsort(_morton_codes(support, lo, hi), axis=1)
+    s_sorted = jnp.take_along_axis(support, perm[..., None], axis=1)
+    s_sorted = jnp.pad(s_sorted, ((0, 0), (0, npad - N), (0, 0)), mode="edge")
+    ids = jnp.pad(perm.astype(jnp.float32), ((0, 0), (0, npad - N)), mode="edge")
+    lane = jnp.arange(npad, dtype=jnp.int32)
+    s2 = jnp.sum(jnp.square(s_sorted), axis=-1)
+    s2 = jnp.where(lane[None, :] < N, s2, _INF)
+
+    zeros = jnp.zeros((B, npad), jnp.float32)
+    pack = jnp.stack(
+        [s_sorted[..., 0], s_sorted[..., 1], s_sorted[..., 2], zeros,
+         s2, ids, zeros, zeros],
+        axis=-2,
+    )  # (B, 8, npad)
+    pack = pack.reshape(B, 8, n_seg, SEG_W).swapaxes(1, 2)  # (B, S, 8, W)
+
+    sc, sr = _sphere(s_sorted.reshape(B, n_seg, SEG_W, 3))  # (B,S,3), (B,S)
+
+    if self_query:
+        q_sorted, qperm = s_sorted[:, :N], perm
+    else:
+        qperm = jnp.argsort(_morton_codes(query, lo, hi), axis=1)
+        q_sorted = jnp.take_along_axis(query, qperm[..., None], axis=1)
+    q_sorted = jnp.pad(q_sorted, ((0, 0), (0, mpad - M), (0, 0)), mode="edge")
+    qc, qr = _sphere(q_sorted.reshape(B, n_tile, TILE_M, 3))  # (B,T,3), (B,T)
+
+    ccd = jnp.sqrt(
+        jnp.maximum(jnp.sum(jnp.square(qc[:, :, None] - sc[:, None]), axis=-1), 0.0)
+    )  # (B, T, S)
+    lb = jnp.maximum(ccd - qr[:, :, None] - sr[:, None, :], 0.0)
+    lb2 = jnp.square(lb) * _LB_SHRINK
+    order = jnp.argsort(lb2, axis=2).astype(jnp.int32)  # (B, T, S)
+    lbs = jnp.take_along_axis(lb2, order, axis=2)
+    # +inf sentinel so the while loop's lookahead read at s == S is safe.
+    lbs = jnp.pad(lbs, ((0, 0), (0, 0), (0, 1)), constant_values=_INF)
+    order = jnp.pad(order, ((0, 0), (0, 0), (0, 1)))
+    # SMEM blocks: one (1, segments+1) row per (batch, tile) grid step — the
+    # singleton middle dim satisfies the "block dims equal array dims" rule.
+    lbs = lbs.reshape(B * n_tile, 1, n_seg + 1)
+    order = order.reshape(B * n_tile, 1, n_seg + 1)
+
+    q4 = jnp.pad(q_sorted, ((0, 0), (0, 0), (0, 1)))  # (B, mpad, 4)
+
+    dist, idx = pl.pallas_call(
+        functools.partial(_knn_spatial_kernel, k=k, n_seg=n_seg),
+        grid=(B, n_tile),
+        in_specs=[
+            pl.BlockSpec((1, TILE_M, 4), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n_seg, 8, SEG_W), lambda b, t: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_seg + 1),
+                         lambda b, t, nt=n_tile: (b * nt + t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, n_seg + 1),
+                         lambda b, t, nt=n_tile: (b * nt + t, 0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, TILE_M, KP), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_M, KP), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, mpad, KP), jnp.float32),
+            jax.ShapeDtypeStruct((B, mpad, KP), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            # Assume ~1/4 of segments visited; the estimate only guides
+            # XLA's scheduler, correctness never depends on it.
+            flops=B * mpad * npad * 2 + B * mpad * (npad // 4) * 4 * k,
+            bytes_accessed=B * (mpad * 4 + 8 * npad + 2 * mpad * KP) * 4,
+            transcendentals=0,
+        ),
+    )(q4, pack, order, lbs)
+
+    # Rows are in Morton order; un-sort back to the caller's query order.
+    binds = jnp.arange(B, dtype=jnp.int32)[:, None]
+    inv = jnp.zeros((B, M), jnp.int32).at[binds, qperm].set(
+        jnp.broadcast_to(jnp.arange(M, dtype=jnp.int32), (B, M))
+    )
+    dist = jnp.take_along_axis(dist[:, :M, :k], inv[..., None], axis=1)
+    idx = jnp.take_along_axis(idx[:, :M, :k], inv[..., None], axis=1)
+    return dist, idx

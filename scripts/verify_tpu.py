@@ -31,6 +31,34 @@ def main():
         assert (got == want).all(), f"FPS mismatch at B{B} N{N} M{M}"
         print(f"pallas fps B{B} N{N} M{M}: OK")
 
+    # 1b. kNN kernels vs the f64 numpy oracle AT MODEL SCALE on device.
+    # This is the check interpret-mode tests cannot do: the TPU's default
+    # matmul precision is bf16-level, which once made the kernels mis-rank
+    # ~70% of neighborhoods at 10240-point scale (fixed with
+    # precision=HIGHEST distance matmuls; this guards the regression).
+    from pointasnl_tpu.ops.pallas import knn as pknn
+    from pointasnl_tpu.ops.pallas import knn_spatial as ks
+
+    for name, fn, B, N, M, K in [
+        ("resident", pknn.knn_point, 2, 10240, 1280, 32),
+        ("spatial", ks.knn_point, 2, 10240, 1280, 32),
+    ]:
+        xyz = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+        qry = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+        _, gi = fn(K, xyz, qry)
+        gi = np.asarray(gi)
+        x64 = np.asarray(xyz, np.float64)
+        q64 = np.asarray(qry, np.float64)
+        mism = 0
+        for b in range(B):
+            d2 = ((q64[b][:, None] - x64[b][None]) ** 2).sum(-1)
+            want = np.argsort(d2, axis=1, kind="stable")[:, :K]
+            mism += int((gi[b] != want).sum())
+        frac = mism / gi.size
+        # allow only FP near-tie swaps (measured ~1e-5 of entries)
+        assert frac < 1e-4, f"{name} kNN mis-ranks {frac:.2%} at scale"
+        print(f"pallas knn[{name}] {M}x{N} k{K}: OK ({mism} near-tie diffs)")
+
     # 2. Flash attention vs dense on device
     from pointasnl_tpu.ops.pallas.flash_attention import flash_attention
 

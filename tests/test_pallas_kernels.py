@@ -90,10 +90,11 @@ def test_pallas_ball_query_empty_ball(rng):
     np.testing.assert_array_equal(np.asarray(got_c), 0)
 
 
-def test_pallas_knn_multi_chunk_streaming(rng):
+def test_pallas_knn_multi_chunk_streaming(rng, monkeypatch):
     """N spanning several support chunks merges identically to the oracle."""
     from pointasnl_tpu.ops.pallas import knn as pknn
 
+    monkeypatch.setenv("POINTASNL_KNN_SPATIAL", "never")
     old = (pknn.TILE_N, pknn.RESIDENT_MAX_N)
     pknn.TILE_N = 128  # force multi-chunk at test sizes
     pknn.RESIDENT_MAX_N = 0  # force the streaming kernel
@@ -109,3 +110,52 @@ def test_pallas_knn_multi_chunk_streaming(rng):
         )
     finally:
         pknn.TILE_N, pknn.RESIDENT_MAX_N = old
+
+
+@pytest.mark.parametrize(
+    "B,N,M,K,self_q",
+    [(2, 600, 600, 8, True), (2, 600, 170, 16, False),
+     (1, 1024, 1024, 32, True), (1, 300, 50, 3, False)],
+)
+def test_pallas_knn_spatial_matches_oracle(rng, B, N, M, K, self_q):
+    """The Morton/bound-pruned kernel is exact, including disjoint queries."""
+    from pointasnl_tpu.ops.pallas import knn_spatial as ks
+
+    support = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    query = support if self_q else jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = ks.knn_point(K, support, query)
+    want_d, want_i = g.knn_point(K, support, query)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_pallas_knn_spatial_duplicate_ties(rng):
+    """Pruning must keep exact lower-index tie-breaks on coincident points
+    (the ScanNet crops pad scenes by duplication, so exact ties are the
+    common case, not a corner)."""
+    from pointasnl_tpu.ops.pallas import knn_spatial as ks
+
+    pts = rng.randn(1, 100, 3).astype(np.float32)
+    dup = jnp.asarray(np.concatenate([pts, pts[:, :60], pts[:, :40]], axis=1))
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = ks.knn_point(8, dup, dup)
+    want_d, want_i = g.knn_point(8, dup, dup)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_knn_routing_spatial_env(rng, monkeypatch):
+    """POINTASNL_KNN_SPATIAL=always routes small N through the spatial path."""
+    from pointasnl_tpu.ops.pallas import knn as pknn
+
+    monkeypatch.setenv("POINTASNL_KNN_SPATIAL", "always")
+    support = jnp.asarray(rng.randn(1, 256, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = pknn.knn_point(8, support, support)
+    want_d, want_i = g.knn_point(8, support, support)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
