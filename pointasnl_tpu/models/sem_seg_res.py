@@ -32,6 +32,11 @@ class PointASNLSemSegRes(nn.Module):
     # nn/blockwise.py and SURVEY.md §5.7). None/False = dense parity path.
     nl_kv_block_size: Optional[int] = None
     nl_use_flash: bool = False
+    # Reuse the stem's self-kNN graph for the level-1 branches: their queries
+    # are FPS samples of the same cloud, so their kNN rows are exact gathers
+    # of the stem graph (tested identical in tests/test_models.py). Skips the
+    # second-largest kNN search of the step.
+    reuse_geometry: bool = True
 
     @nn.compact
     def __call__(
@@ -57,16 +62,29 @@ class PointASNLSemSegRes(nn.Module):
                 name=name,
             )
 
+        # Stem self-kNN graph, hoisted so level 1 can gather its rows.
+        if self.reuse_geometry:
+            from pointasnl_tpu import ops
+
+            _, knn0_idx = ops.knn_point(32, l0_xyz, l0_xyz)
+            fps1_idx = ops.farthest_point_sample(num_points[0], l0_xyz)
+            l1_knn_idx = ops.gather_point(knn0_idx, fps1_idx)
+        else:
+            knn0_idx = fps1_idx = l1_knn_idx = None
+
         _, l0_points = sa("layer0", num_point, (16, 16, 32), 0, NL=False)(
-            l0_xyz, l0_points, training=training, bn_momentum=bn_momentum
+            l0_xyz, l0_points, training=training, bn_momentum=bn_momentum,
+            knn_idx=knn0_idx,
         )
 
         # 1st residual level
         l1_xyz, l1_1_points = sa("layer1_1", num_points[0], (32, 32, 64), 8)(
-            l0_xyz, l0_points, training=training, bn_momentum=bn_momentum
+            l0_xyz, l0_points, training=training, bn_momentum=bn_momentum,
+            fps_idx=fps1_idx, knn_idx=l1_knn_idx,
         )
         _, l1_2_points = sa("layer1_2", num_points[0], (64, 64), 0, NL=False)(
-            l0_xyz, l0_points, training=training, bn_momentum=bn_momentum
+            l0_xyz, l0_points, training=training, bn_momentum=bn_momentum,
+            fps_idx=fps1_idx, knn_idx=l1_knn_idx,
         )
         l1_2_points = l1_2_points + l1_1_points
 

@@ -254,13 +254,29 @@ class PointASNLSetAbstraction(nn.Module):
 
     @nn.compact
     def __call__(
-        self, xyz: Array, feature: Array, *, training: bool, bn_momentum=0.9
+        self,
+        xyz: Array,
+        feature: Array,
+        *,
+        training: bool,
+        bn_momentum=0.9,
+        fps_idx: Optional[Array] = None,
+        knn_idx: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
+        """`fps_idx` / `knn_idx` are exact precomputed-geometry hints: the
+        models pass FPS indices and rows of an existing self-kNN graph so the
+        same search never runs twice per step (see models/sem_seg_res.py).
+        Results are identical to the unhinted path — a kNN row depends only
+        on the query point, and FPS only on xyz."""
         B, N, C = feature.shape
         downsampling = N != self.npoint
 
         if downsampling:
-            new_xyz, new_feature = ops.sampling(self.npoint, xyz, feature)
+            if fps_idx is not None:
+                new_xyz = ops.gather_point(xyz, fps_idx)
+                new_feature = ops.gather_point(feature, fps_idx)
+            else:
+                new_xyz, new_feature = ops.sampling(self.npoint, xyz, feature)
         else:
             new_xyz, new_feature = xyz, feature
 
@@ -271,6 +287,7 @@ class PointASNLSetAbstraction(nn.Module):
             new_xyz,
             use_knn=self.use_knn,
             radius=self.radius if self.radius is not None else 0.2,
+            idx=knn_idx,
         )
         nl_channel = self.mlp[-1]
 

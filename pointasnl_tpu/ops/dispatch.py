@@ -164,9 +164,12 @@ def sampling(npoint, pts, feature=None):
     return gather_point(pts, fps_idx), gather_point(feature, fps_idx)
 
 
-def grouping(feature, k, src_xyz, q_xyz, *, use_xyz=True, use_knn=True, radius=0.2):
+def grouping(feature, k, src_xyz, q_xyz, *, use_xyz=True, use_knn=True,
+             radius=0.2, idx=None):
     """Neighborhood grouping (see geometry.grouping); kNN goes through dispatch."""
-    if use_knn:
+    if idx is not None:
+        pass
+    elif use_knn:
         _, idx = knn_point(k, src_xyz, q_xyz)
     else:
         idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)

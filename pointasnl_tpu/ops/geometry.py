@@ -363,6 +363,7 @@ def grouping(
     use_xyz: bool = True,
     use_knn: bool = True,
     radius: float = 0.2,
+    idx: Optional[Array] = None,
 ) -> Tuple[Array, Array, Array]:
     """Neighborhood grouping, the reference's `grouping` (utils/pointasnl_util.py:51-76).
 
@@ -371,8 +372,15 @@ def grouping(
     reference had a latent bug (undefined `idx` for feature gather,
     pointasnl_util.py:67-71 — only the kNN path ever ran); here the ball
     branch is implemented correctly: features are gathered by ball indices.
+
+    `idx` short-circuits the neighbor search with precomputed indices — used
+    by the models to reuse rows of an already-computed self-kNN graph when
+    the query set is a subset of the support set (exact, since each query's
+    neighbors are independent of the rest of the query set).
     """
-    if use_knn:
+    if idx is not None:
+        pass
+    elif use_knn:
         _, idx = knn_point(k, src_xyz, q_xyz)
     else:
         idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)

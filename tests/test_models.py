@@ -110,3 +110,15 @@ def test_cls_jit_and_grad(rng):
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
     total = sum(float(jnp.sum(jnp.abs(l))) for l in leaves)
     assert total > 0
+
+
+def test_sem_seg_res_geometry_reuse_identical(rng):
+    """reuse_geometry (stem self-kNN rows gathered for level 1) must be a
+    pure optimization: outputs identical to the unhinted search path."""
+    x = jnp.asarray(rng.randn(2, 256, 3).astype(np.float32))
+    on = PointASNLSemSegRes(num_class=5, reuse_geometry=True)
+    off = PointASNLSemSegRes(num_class=5, reuse_geometry=False)
+    variables = init_model(on, x, training=False)
+    got, _ = apply_model(on, variables, x, training=False)
+    want, _ = apply_model(off, variables, x, training=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
