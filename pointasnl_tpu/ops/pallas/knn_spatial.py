@@ -47,7 +47,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_M = 128  # queries per tile
-SEG_W = 256  # support points per segment
+SEG_W = 512  # support points per segment (swept at N=131072, BENCH_OPS.md)
 KP = 128  # running top-k lanes (k <= KP)
 # VMEM cap for the resident packed support (S * 8 * SEG_W * 4 bytes).
 MAX_SPATIAL_N = 1 << 18
@@ -90,16 +90,17 @@ def _sphere(points):
     return c, jnp.sqrt(r2)
 
 
-def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, dist_ref, idx_ref,
-                        *, k: int, n_seg: int):
+def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, sph_ref,
+                        dist_ref, idx_ref, *, k: int, n_seg: int, tile_m: int):
     # q_ref:    (1, TILE_M, 4) sorted query xyz (4th column zero)
     # pack_ref: (1, S, 8, SEG_W) — rows x, y, z, 0, |s|^2 (+inf pad), id, 0, 0
     # order_ref:(1, 1, S + 1) int32 SMEM — segment visit order, nearest first
     # lbs_ref:  (1, 1, S + 1) f32 SMEM — matching lower bounds; +inf sentinel
+    # sph_ref:  (1, S, 4) f32 SMEM — segment bounding spheres (cx, cy, cz, r)
     # dist/idx: (1, TILE_M, KP)
-    q = q_ref[0]  # (TILE_M, 4)
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)  # (TILE_M, 1)
-    out_lanes = lax.broadcasted_iota(jnp.int32, (TILE_M, KP), dimension=1)
+    q = q_ref[0]  # (tile_m, 4)
+    q2 = jnp.sum(q * q, axis=-1, keepdims=True)  # (tile_m, 1)
+    out_lanes = lax.broadcasted_iota(jnp.int32, (tile_m, KP), dimension=1)
 
     def merge(run_d, run_i, d2, ids):
         cd = jnp.concatenate([run_d, d2], axis=1)  # (TILE_M, KP + SEG_W)
@@ -115,8 +116,8 @@ def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, dist_ref, idx_ref,
             cd = jnp.where((cd == md) & (ci == mi), _INF, cd)
             return cd, nd, ni
 
-        nd0 = jnp.full((TILE_M, KP), _INF, jnp.float32)
-        ni0 = jnp.zeros((TILE_M, KP), jnp.float32)
+        nd0 = jnp.full((tile_m, KP), _INF, jnp.float32)
+        ni0 = jnp.zeros((tile_m, KP), jnp.float32)
         _, nd, ni = lax.fori_loop(0, k, body, (cd, nd0, ni0))
         return nd, ni
 
@@ -127,20 +128,45 @@ def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, dist_ref, idx_ref,
     def step(carry):
         s, _, bound, run_d, run_i = carry
         seg = order_ref[0, 0, s]
-        blk = pack_ref[0, seg]  # (8, SEG_W)
-        qs = jnp.dot(q, blk[0:4, :], preferred_element_type=jnp.float32,
-                     precision=lax.Precision.HIGHEST)
-        # oracle-order arithmetic + clamp (ties at 0.0 resolve by index)
-        d2 = jnp.maximum((q2 + blk[4:5, :]) - 2.0 * qs, 0.0)
-        blkmin = jnp.min(d2)
 
-        def do_merge(args):
+        # Per-ROW sphere bound: row r can gain a neighbor from this segment
+        # only if max(0, |q_r - c| - r_seg)^2 <= r's own kth distance. This
+        # is far tighter than the tile-level bound that ordered the visit
+        # (a ~(tile_m,) computation vs a (tile_m, SEG_W) block visit).
+        cx = sph_ref[0, seg, 0]
+        cy = sph_ref[0, seg, 1]
+        cz = sph_ref[0, seg, 2]
+        rad = sph_ref[0, seg, 3]
+        dq2 = (
+            jnp.square(q[:, 0:1] - cx)
+            + jnp.square(q[:, 1:2] - cy)
+            + jnp.square(q[:, 2:3] - cz)
+        )
+        lb_row = jnp.square(jnp.maximum(jnp.sqrt(dq2) - rad, 0.0)) * _LB_SHRINK
+        rowkth = run_d[:, k - 1 : k]
+
+        def visit(args):
             run_d, run_i = args
-            nd, ni = merge(run_d, run_i, d2, blk[5:6, :])
-            return nd, ni, jnp.max(nd[:, k - 1 : k])
+            blk = pack_ref[0, seg]  # (8, SEG_W)
+            qs = jnp.dot(q, blk[0:4, :], preferred_element_type=jnp.float32,
+                         precision=lax.Precision.HIGHEST)
+            # oracle-order arithmetic + clamp (ties at 0.0 resolve by index)
+            d2 = jnp.maximum((q2 + blk[4:5, :]) - 2.0 * qs, 0.0)
+            blkmin = jnp.min(d2)
+
+            def do_merge(args):
+                run_d, run_i = args
+                nd, ni = merge(run_d, run_i, d2, blk[5:6, :])
+                return nd, ni, jnp.max(nd[:, k - 1 : k])
+
+            return lax.cond(
+                blkmin <= bound, do_merge, lambda a: (a[0], a[1], bound),
+                (run_d, run_i),
+            )
 
         run_d, run_i, bound = lax.cond(
-            blkmin <= bound, do_merge, lambda a: (a[0], a[1], bound), (run_d, run_i)
+            jnp.any(lb_row <= rowkth), visit, lambda a: (a[0], a[1], bound),
+            (run_d, run_i),
         )
         return s + 1, lbs_ref[0, 0, s + 1], bound, run_d, run_i
 
@@ -148,36 +174,40 @@ def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, dist_ref, idx_ref,
         jnp.int32(0),
         lbs_ref[0, 0, 0],
         jnp.float32(_INF),
-        jnp.full((TILE_M, KP), _INF, jnp.float32),
-        jnp.zeros((TILE_M, KP), jnp.float32),
+        jnp.full((tile_m, KP), _INF, jnp.float32),
+        jnp.zeros((tile_m, KP), jnp.float32),
     )
     _, _, _, run_d, run_i = lax.while_loop(cond, step, init)
     dist_ref[0] = jnp.maximum(run_d, 0.0)
     idx_ref[0] = run_i.astype(jnp.int32)
 
 
-def knn_point(k: int, support: jax.Array, query: jax.Array):
+def knn_point(k: int, support: jax.Array, query: jax.Array,
+              *, seg_w: int = None, tile_m: int = None):
     """Spatially-pruned exact kNN: support (B,N,3), query (B,M,3) -> (B,M,k).
 
     Same contract as ops.geometry.knn_point (ascending squared distances,
     lowest-index tie-breaks, query-in-support self-match). Gradients are cut,
     like every kNN path (the reference's ran under tf.py_func).
+    seg_w / tile_m override the segment width and query tile (sweeps).
     """
     N = support.shape[1]
     if k > N or k > KP or N > MAX_SPATIAL_N:
         from pointasnl_tpu.ops.pallas import knn as _pknn
 
         return _pknn.knn_point(k, support, query)
+    seg_w = seg_w or SEG_W
+    tile_m = tile_m or TILE_M
     # The identity check must happen OUTSIDE the jit boundary: inside,
     # support and query are distinct tracers even when the caller passed the
     # same array (the self-kNN layers do — grouping passes xyz twice).
     if query is support:
-        return _knn_spatial(k, support, None)
-    return _knn_spatial(k, support, query)
+        return _knn_spatial(k, seg_w, tile_m, support, None)
+    return _knn_spatial(k, seg_w, tile_m, support, query)
 
 
-@functools.partial(jax.jit, static_argnums=0)
-def _knn_spatial(k: int, support: jax.Array, query):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2))
+def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query):
     B, N, _ = support.shape
     support = lax.stop_gradient(support.astype(jnp.float32))
     self_query = query is None
@@ -236,9 +266,10 @@ def _knn_spatial(k: int, support: jax.Array, query):
     order = order.reshape(B * n_tile, 1, n_seg + 1)
 
     q4 = jnp.pad(q_sorted, ((0, 0), (0, 0), (0, 1)))  # (B, mpad, 4)
+    sph = jnp.concatenate([sc, sr[..., None]], axis=-1)  # (B, S, 4)
 
     dist, idx = pl.pallas_call(
-        functools.partial(_knn_spatial_kernel, k=k, n_seg=n_seg),
+        functools.partial(_knn_spatial_kernel, k=k, n_seg=n_seg, tile_m=TILE_M),
         grid=(B, n_tile),
         in_specs=[
             pl.BlockSpec((1, TILE_M, 4), lambda b, t: (b, t, 0),
@@ -250,6 +281,8 @@ def _knn_spatial(k: int, support: jax.Array, query):
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 1, n_seg + 1),
                          lambda b, t, nt=n_tile: (b * nt + t, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_seg, 4), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_specs=(
@@ -269,7 +302,7 @@ def _knn_spatial(k: int, support: jax.Array, query):
             bytes_accessed=B * (mpad * 4 + 8 * npad + 2 * mpad * KP) * 4,
             transcendentals=0,
         ),
-    )(q4, pack, order, lbs)
+    )(q4, pack, order, lbs, sph)
 
     # Rows are in Morton order; un-sort back to the caller's query order.
     binds = jnp.arange(B, dtype=jnp.int32)[:, None]
