@@ -192,9 +192,19 @@ class PointNonLocalCell(nn.Module):
             return out
 
         if self.mode == "dot" and self.use_flash:
-            from pointasnl_tpu.ops.pallas.flash_attention import flash_attention
+            from pointasnl_tpu.ops.pallas.flash_attention import (
+                fits_vmem,
+                flash_attention,
+            )
 
-            out = flash_attention(q, k, v, self.scaled)
+            if not fits_vmem(N, self.bottleneck, self.bottleneck):
+                # K/V too big to hold on-chip: stream with the blockwise
+                # online softmax instead (numerically identical).
+                from pointasnl_tpu.nn.blockwise import blockwise_attention
+
+                out = blockwise_attention(q, k, v, block_size=4096, scaled=self.scaled)
+            else:
+                out = flash_attention(q, k, v, self.scaled)
             out = PointConv(self.out_channels, bn=self.bn, name="conv_back_project")(
                 out, training=training, bn_momentum=bn_momentum
             )

@@ -4,21 +4,25 @@ The PointNonLocalCell attention map (M x ndataset) is the model's only
 quadratic object (utils/pointasnl_util.py:199). XLA materializes it in HBM
 twice per layer (scores out of the QK matmul, probabilities into the PV
 matmul). These kernels compute softmax(QK^T/sqrt(C)) V per (batch, M-tile)
-grid step entirely in VMEM: scores and probabilities never touch HBM, in
-either direction.
+grid step entirely in VMEM, streaming K/V in chunks with an online softmax —
+scores and probabilities never exist at full (TM, N) width, let alone in
+HBM. (The first version held the full (TM, N) score block in VMEM, which
+blew the 16 MB scoped-VMEM limit in the backward at the seg model's
+layer1 shape, 1280 q x 10240 kv — hence the chunked rewrite.)
 
 Shapes: q (B, M, C), k (B, N, C), v (B, N, D) -> (B, M, D); single head, no
-mask (the cell attends over all input points). K/V for one cloud fit VMEM at
-every workload size (N <= ~10k, C <= 64 -> ~2.6 MB), so the kernels hold them
-resident and tile only M.
+mask (the cell attends over all input points). K/V for one cloud stay VMEM-
+resident (N*(C+D)*4 bytes — cap checked by the caller via fits_vmem()), and
+the score/probability working set is (TILE_M, CHUNK_N) regardless of N.
 
 Backward (hand-written, VERDICT r1 item 5): the forward stores per-row
-logsumexp stats; the backward recomputes normalized probabilities per M-tile
-(p = exp(s - L), rows sum to 1), forms dS = p * (dO V^T - rowsum(dO*O)) on
-chip, and emits dQ per tile while accumulating dK/dV into output blocks that
-every M-tile of a batch revisits (TPU grid steps are sequential, so the
+logsumexp stats; the backward recomputes normalized probabilities per
+(M-tile, KV-chunk) (p = exp(s - L), rows sum to 1 across chunks), forms
+dS = p * (dO V^T - rowsum(dO*O)) on chip, accumulates dQ across chunks in
+registers, and accumulates dK/dV chunks into output blocks that every
+M-tile of a batch revisits (TPU grid steps are sequential, so the
 accumulation is race-free). Zero-padded dO rows contribute exactly zero, so
-M-padding needs no masking.
+M-padding needs no masking; padded KV columns are masked to -inf scores.
 """
 
 from __future__ import annotations
@@ -27,35 +31,66 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 TILE_M = 128
 LANE = 128
+CHUNK_N = 1024  # KV chunk: bounds the score block at (TILE_M, CHUNK_N)
+_NEG = -3e38
 
 
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, stats_ref, *, scale: float):
-    # q_ref: (1, TM, C); k_ref: (1, N, C); v_ref: (1, N, D);
+def fits_vmem(n: int, c: int, d: int) -> bool:
+    """Whether resident K/V (+grad accumulators) fit the VMEM budget."""
+    return n * (c + d) * 4 * 2 <= 8 * 1024 * 1024
+
+
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, stats_ref,
+                      *, scale: float, n: int, n_chunks: int):
+    # q_ref: (1, TM, C); k_ref: (1, Np, C); v_ref: (1, Np, D);
     # o_ref: (1, TM, D); stats_ref: (1, TM, LANE) logsumexp broadcast
     q = q_ref[0]
-    k = k_ref[0]
-    v = v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale  # (TM, N)
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32) / l
-    o_ref[0] = o.astype(o_ref.dtype)
+    tm, d = q.shape[0], v_ref.shape[-1]
+    col0 = lax.broadcasted_iota(jnp.int32, (tm, CHUNK_N), dimension=1)
+
+    def chunk(i, carry):
+        acc, m, l = carry
+        kc = k_ref[0, pl.ds(i * CHUNK_N, CHUNK_N), :]  # (CN, C)
+        vc = v_ref[0, pl.ds(i * CHUNK_N, CHUNK_N), :]  # (CN, D)
+        s = lax.dot_general(
+            q, kc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (TM, CN)
+        s = jnp.where(col0 + i * CHUNK_N < n, s, _NEG)  # mask padded KV rows
+        m2 = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m - m2)
+        p = jnp.exp(s - m2)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.dot(p, vc, preferred_element_type=jnp.float32)
+        return acc, m2, l
+
+    acc0 = jnp.zeros((tm, d), jnp.float32)
+    m0 = jnp.full((tm, 1), _NEG, jnp.float32)
+    l0 = jnp.zeros((tm, 1), jnp.float32)
+    acc, m, l = lax.fori_loop(0, n_chunks, chunk, (acc0, m0, l0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
     stats_ref[0] = jnp.broadcast_to(m + jnp.log(l), stats_ref.shape[1:]).astype(
         stats_ref.dtype
     )
+
+
+def _pad_kv(k, v):
+    N = k.shape[1]
+    npad = _round_up(N, CHUNK_N)
+    if npad != N:
+        k = jnp.pad(k, ((0, 0), (0, npad - N), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, npad - N), (0, 0)))
+    return k, v, npad
 
 
 def _flash_forward_with_stats(q, k, v, scale: float):
@@ -65,15 +100,18 @@ def _flash_forward_with_stats(q, k, v, scale: float):
     mpad = _round_up(M, TILE_M)
     if mpad != M:
         q = jnp.pad(q, ((0, 0), (0, mpad - M), (0, 0)))
+    k, v, npad = _pad_kv(k, v)
 
-    kernel = functools.partial(_flash_fwd_kernel, scale=scale)
+    kernel = functools.partial(
+        _flash_fwd_kernel, scale=scale, n=N, n_chunks=npad // CHUNK_N
+    )
     out, stats = pl.pallas_call(
         kernel,
         grid=(B, mpad // TILE_M),
         in_specs=[
             pl.BlockSpec((1, TILE_M, C), lambda b, mt: (b, mt, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, D), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, C), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, D), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, TILE_M, D), lambda b, mt: (b, mt, 0), memory_space=pltpu.VMEM),
@@ -84,9 +122,9 @@ def _flash_forward_with_stats(q, k, v, scale: float):
             jax.ShapeDtypeStruct((B, mpad, LANE), jnp.float32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * mpad * N * (C + D),
-            bytes_accessed=B * (mpad * C + N * (C + D) + mpad * D) * 4,
-            transcendentals=B * mpad * N,
+            flops=2 * B * mpad * npad * (C + D),
+            bytes_accessed=B * (mpad * C + npad * (C + D) + mpad * D) * 4,
+            transcendentals=B * mpad * npad,
         ),
     )(q, k, v)
     return out, stats  # out (B, mpad, D), stats (B, mpad, LANE)
@@ -94,52 +132,53 @@ def _flash_forward_with_stats(q, k, v, scale: float):
 
 def _flash_bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, o_ref, stats_ref, dq_ref, dk_ref, dv_ref,
-    *, scale: float
+    *, scale: float, n: int, n_chunks: int
 ):
     mt = pl.program_id(1)
 
     q = q_ref[0]          # (TM, C)
-    k = k_ref[0]          # (N, C)
-    v = v_ref[0]          # (N, D)
     do = do_ref[0]        # (TM, D)
     o = o_ref[0]          # (TM, D)
     L = stats_ref[0][:, :1]  # (TM, 1)
-
-    s = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ) * scale
-    p = jnp.exp(s - L)  # (TM, N), rows sum to 1 (normalized by construction)
-
+    tm, c = q.shape
     delta = jnp.sum(do * o, axis=-1, keepdims=True)  # (TM, 1)
-    dov = jax.lax.dot_general(
-        do, v, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (TM, N)
-    ds = p * (dov - delta) * scale  # (TM, N)
+    col0 = lax.broadcasted_iota(jnp.int32, (tm, CHUNK_N), dimension=1)
 
-    dq_ref[0] = jnp.dot(ds, k, preferred_element_type=jnp.float32).astype(dq_ref.dtype)
-
-    dk_tile = jax.lax.dot_general(
-        ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (N, C)
-    dv_tile = jax.lax.dot_general(
-        p, do, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (N, D)
-
-    # dk/dv blocks are revisited by every M-tile of this batch: init at the
+    # dk/dv blocks are revisited by every M-tile of this batch: zero at the
     # first tile, accumulate afterwards (grid steps run sequentially on TPU).
     @pl.when(mt == 0)
     def _():
-        dk_ref[0] = dk_tile.astype(dk_ref.dtype)
-        dv_ref[0] = dv_tile.astype(dv_ref.dtype)
+        dk_ref[0] = jnp.zeros_like(dk_ref[0])
+        dv_ref[0] = jnp.zeros_like(dv_ref[0])
 
-    @pl.when(mt != 0)
-    def _():
-        dk_ref[0] = dk_ref[0] + dk_tile.astype(dk_ref.dtype)
-        dv_ref[0] = dv_ref[0] + dv_tile.astype(dv_ref.dtype)
+    def chunk(i, dq_acc):
+        sl = pl.ds(i * CHUNK_N, CHUNK_N)
+        kc = k_ref[0, sl, :]  # (CN, C)
+        vc = v_ref[0, sl, :]  # (CN, D)
+        s = lax.dot_general(
+            q, kc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(col0 + i * CHUNK_N < n, s, _NEG)
+        p = jnp.exp(s - L)  # (TM, CN); rows sum to 1 ACROSS chunks
+        dov = lax.dot_general(
+            do, vc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (TM, CN)
+        ds = p * (dov - delta) * scale
+        dq_acc = dq_acc + jnp.dot(ds, kc, preferred_element_type=jnp.float32)
+        dk_ref[0, sl, :] = dk_ref[0, sl, :] + lax.dot_general(
+            ds, q, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dk_ref.dtype)
+        dv_ref[0, sl, :] = dv_ref[0, sl, :] + lax.dot_general(
+            p, do, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dv_ref.dtype)
+        return dq_acc
+
+    dq = lax.fori_loop(0, n_chunks, chunk, jnp.zeros((tm, c), jnp.float32))
+    dq_ref[0] = dq.astype(dq_ref.dtype)
 
 
 def _flash_backward(q, k, v, o_pad, stats, do, scale: float):
@@ -150,36 +189,39 @@ def _flash_backward(q, k, v, o_pad, stats, do, scale: float):
     if mpad != M:
         q = jnp.pad(q, ((0, 0), (0, mpad - M), (0, 0)))
         do = jnp.pad(do, ((0, 0), (0, mpad - M), (0, 0)))  # zero rows -> zero grads
+    k_p, v_p, npad = _pad_kv(k, v)
 
-    kernel = functools.partial(_flash_bwd_kernel, scale=scale)
+    kernel = functools.partial(
+        _flash_bwd_kernel, scale=scale, n=N, n_chunks=npad // CHUNK_N
+    )
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(B, mpad // TILE_M),
         in_specs=[
             pl.BlockSpec((1, TILE_M, C), lambda b, mt: (b, mt, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, D), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, C), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, D), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_M, D), lambda b, mt: (b, mt, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_M, D), lambda b, mt: (b, mt, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, TILE_M, LANE), lambda b, mt: (b, mt, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, TILE_M, C), lambda b, mt: (b, mt, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, C), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, D), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, C), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, npad, D), lambda b, mt: (b, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, mpad, C), q.dtype),
-            jax.ShapeDtypeStruct((B, N, C), k.dtype),
-            jax.ShapeDtypeStruct((B, N, D), v.dtype),
+            jax.ShapeDtypeStruct((B, npad, C), k.dtype),
+            jax.ShapeDtypeStruct((B, npad, D), v.dtype),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=5 * B * mpad * N * (C + D),
-            bytes_accessed=B * (2 * mpad * (C + 2 * D) + 2 * N * (C + D)) * 4,
-            transcendentals=B * mpad * N,
+            flops=5 * B * mpad * npad * (C + D),
+            bytes_accessed=B * (2 * mpad * (C + 2 * D) + 2 * npad * (C + D)) * 4,
+            transcendentals=B * mpad * npad,
         ),
-    )(q, k, v, do, o_pad, stats)
-    return dq[:, :M, :], dk, dv
+    )(q, k_p, v_p, do, o_pad, stats)
+    return dq[:, :M, :], dk[:, :N, :], dv[:, :N, :]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
