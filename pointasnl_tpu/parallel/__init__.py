@@ -12,5 +12,16 @@ from pointasnl_tpu.parallel.mesh import (
     replicate,
     shard_batch,
 )
+from pointasnl_tpu.parallel.sharded_knn import (
+    farthest_point_sample_sharded,
+    knn_point_sharded,
+)
 
-__all__ = ["batch_sharding", "make_mesh", "replicate", "shard_batch"]
+__all__ = [
+    "batch_sharding",
+    "farthest_point_sample_sharded",
+    "knn_point_sharded",
+    "make_mesh",
+    "replicate",
+    "shard_batch",
+]
