@@ -14,12 +14,14 @@ from pointasnl_tpu.parallel.mesh import (
 )
 from pointasnl_tpu.parallel.sharded_knn import (
     farthest_point_sample_sharded,
+    knn_point_query_sharded,
     knn_point_sharded,
 )
 
 __all__ = [
     "batch_sharding",
     "farthest_point_sample_sharded",
+    "knn_point_query_sharded",
     "knn_point_sharded",
     "make_mesh",
     "replicate",

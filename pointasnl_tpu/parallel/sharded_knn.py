@@ -74,6 +74,35 @@ def knn_point_sharded(k: int, support: jax.Array, query: jax.Array,
     return fn(support, query)
 
 
+def knn_point_query_sharded(k: int, support: jax.Array, query: jax.Array,
+                            mesh: Mesh, axis: str = "data"):
+    """Exact kNN with QUERIES (B, M, 3) sharded on M over `axis`.
+
+    The complementary decomposition to knn_point_sharded: support xyz is
+    small (N*12 bytes) and replicates, each device searches the full support
+    for its own query rows with the on-chip kernels, and there is NO
+    cross-device merge at all — outputs stay query-sharded. This is the
+    latency-optimal layout when the same mesh also shards downstream
+    per-point compute (e.g. the whole-scene head convs).
+    """
+    M = query.shape[1]
+    D = mesh.shape[axis]
+    if M % D:
+        raise ValueError(f"knn_point_query_sharded: M={M} % {D} != 0")
+
+    def local_fn(sup, qry):  # sup (B, N, 3) replicated, qry (B, M/D, 3)
+        return ops.knn_point(k, sup, qry)
+
+    fn = shard_map(
+        local_fn,
+        mesh=mesh,
+        in_specs=(P(), P(None, axis, None)),
+        out_specs=(P(None, axis, None), P(None, axis, None)),
+        check_vma=False,
+    )
+    return fn(support, query)
+
+
 def farthest_point_sample_sharded(npoint: int, xyz: jax.Array,
                                   mesh: Mesh, axis: str = "data") -> jax.Array:
     """FPS with xyz (B, N, 3) sharded on N; returns replicated (B, npoint).

@@ -63,3 +63,19 @@ def test_sharded_fps_npoint_one(rng):
     np.testing.assert_array_equal(
         np.asarray(farthest_point_sample_sharded(1, xyz, mesh)), 0
     )
+
+
+@pytest.mark.parametrize("B,N,M,K", [(2, 300, 64, 8), (1, 1000, 256, 32)])
+def test_query_sharded_knn_matches_oracle(rng, B, N, M, K):
+    """Query-sharded decomposition: no merge, outputs sharded on M."""
+    from pointasnl_tpu.parallel.sharded_knn import knn_point_query_sharded
+
+    mesh = make_mesh()
+    support = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    query = jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+    got_d, got_i = knn_point_query_sharded(K, support, query, mesh)
+    want_d, want_i = g.knn_point(K, support, query)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-5
+    )
