@@ -49,8 +49,14 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_M = 128  # queries per tile
 SEG_W = 512  # support points per segment (swept at N=131072, BENCH_OPS.md)
 KP = 128  # running top-k lanes (k <= KP)
-# VMEM cap for the resident packed support (S * 8 * SEG_W * 4 bytes).
+# VMEM cap for the resident packed support (S * 8 * SEG_W * 4 bytes); above
+# it the pack stays in HBM and visited segments are DMA'd on demand — the
+# pruning makes the DMA traffic sparse, the TPU analog of a KD-tree's
+# "touch only nearby leaves".
 MAX_SPATIAL_N = 1 << 18
+# Cap for the HBM-pack mode: the (T, S) per-tile visit-order argsort grows
+# as N^2/(TILE_M*SEG_W), which stays cheap to here.
+MAX_SPATIAL_HBM_N = 1 << 19
 _INF = 3e38
 _BIGID = 3e38
 # Relative shrink applied to lower bounds so float32 error in the distance
@@ -91,15 +97,17 @@ def _sphere(points):
 
 
 def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, sph_ref,
-                        dist_ref, idx_ref, *, k: int, n_seg: int, tile_m: int):
+                        dist_ref, idx_ref, blk_scratch, dma_sem,
+                        *, k: int, n_seg: int, tile_m: int, resident: bool):
     # q_ref:    (1, TILE_M, 4) sorted query xyz (4th column zero)
-    # pack_ref: (1, S, 8, SEG_W) — rows x, y, z, 0, |s|^2 (+inf pad), id, 0, 0
+    # pack_ref: (1, S, 8, SEG_W) VMEM when resident, else the full
+    #           (B, S, 8, SEG_W) array left in HBM (ANY) and DMA'd per visit
     # order_ref:(1, 1, S + 1) int32 SMEM — segment visit order, nearest first
     # lbs_ref:  (1, 1, S + 1) f32 SMEM — matching lower bounds; +inf sentinel
     # sph_ref:  (1, S, 4) f32 SMEM — segment bounding spheres (cx, cy, cz, r)
     # dist/idx: (1, TILE_M, KP)
+    # blk_scratch/dma_sem: (8, SEG_W) VMEM landing pad + semaphore (HBM mode)
     q = q_ref[0]  # (tile_m, 4)
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)  # (tile_m, 1)
     out_lanes = lax.broadcasted_iota(jnp.int32, (tile_m, KP), dimension=1)
 
     def merge(run_d, run_i, d2, ids):
@@ -147,11 +155,30 @@ def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, sph_ref,
 
         def visit(args):
             run_d, run_i = args
-            blk = pack_ref[0, seg]  # (8, SEG_W)
-            qs = jnp.dot(q, blk[0:4, :], preferred_element_type=jnp.float32,
-                         precision=lax.Precision.HIGHEST)
-            # oracle-order arithmetic + clamp (ties at 0.0 resolve by index)
-            d2 = jnp.maximum((q2 + blk[4:5, :]) - 2.0 * qs, 0.0)
+            if resident:
+                blk = pack_ref[0, seg]  # (8, SEG_W)
+            else:
+                copy = pltpu.make_async_copy(
+                    pack_ref.at[pl.program_id(0), seg], blk_scratch, dma_sem
+                )
+                copy.start()
+                copy.wait()
+                blk = blk_scratch[...]
+            # DIRECT differences, not the |q|^2+|s|^2-2qs expansion: the
+            # expansion's error grows as eps*(|q|^2+|s|^2) — ~2e-5 absolute
+            # on a 9 m scene, comparable to real neighbor gaps at scan
+            # density — while direct differences stay at eps*d2 (~1e-7
+            # relative), matching the reference's nanoflann numerics
+            # (knn_.cxx L2 adapter). This kernel serves scene-scale N,
+            # where the distinction decides ~1% of neighbor ranks; the
+            # 8-op VPU cost is negligible next to the merge.
+            d2 = (
+                jnp.square(q[:, 0:1] - blk[0:1, :])
+                + jnp.square(q[:, 1:2] - blk[1:2, :])
+                + jnp.square(q[:, 2:3] - blk[2:3, :])
+            )
+            # padded support lanes carry s2=+inf in row 4: mask them out
+            d2 = jnp.where(blk[4:5, :] < _INF, d2, _INF)
             blkmin = jnp.min(d2)
 
             def do_merge(args):
@@ -192,7 +219,7 @@ def knn_point(k: int, support: jax.Array, query: jax.Array,
     seg_w / tile_m override the segment width and query tile (sweeps).
     """
     N = support.shape[1]
-    if k > N or k > KP or N > MAX_SPATIAL_N:
+    if k > N or k > KP or N > MAX_SPATIAL_HBM_N:
         from pointasnl_tpu.ops.pallas import knn as _pknn
 
         return _pknn.knn_point(k, support, query)
@@ -268,14 +295,21 @@ def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query):
     q4 = jnp.pad(q_sorted, ((0, 0), (0, 0), (0, 1)))  # (B, mpad, 4)
     sph = jnp.concatenate([sc, sr[..., None]], axis=-1)  # (B, S, 4)
 
+    resident = N <= MAX_SPATIAL_N
+    pack_spec = (
+        pl.BlockSpec((1, n_seg, 8, SEG_W), lambda b, t: (b, 0, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if resident
+        else pl.BlockSpec(memory_space=pltpu.ANY)
+    )
     dist, idx = pl.pallas_call(
-        functools.partial(_knn_spatial_kernel, k=k, n_seg=n_seg, tile_m=TILE_M),
+        functools.partial(_knn_spatial_kernel, k=k, n_seg=n_seg,
+                          tile_m=TILE_M, resident=resident),
         grid=(B, n_tile),
         in_specs=[
             pl.BlockSpec((1, TILE_M, 4), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n_seg, 8, SEG_W), lambda b, t: (b, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pack_spec,
             pl.BlockSpec((1, 1, n_seg + 1),
                          lambda b, t, nt=n_tile: (b * nt + t, 0, 0),
                          memory_space=pltpu.SMEM),
@@ -295,6 +329,10 @@ def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query):
             jax.ShapeDtypeStruct((B, mpad, KP), jnp.float32),
             jax.ShapeDtypeStruct((B, mpad, KP), jnp.int32),
         ),
+        scratch_shapes=[
+            pltpu.VMEM((8, SEG_W), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
         cost_estimate=pl.CostEstimate(
             # Assume ~1/4 of segments visited; the estimate only guides
             # XLA's scheduler, correctness never depends on it.

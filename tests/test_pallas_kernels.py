@@ -159,3 +159,23 @@ def test_knn_routing_spatial_env(rng, monkeypatch):
         got_d, got_i = pknn.knn_point(8, support, support)
     want_d, want_i = g.knn_point(8, support, support)
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_pallas_knn_spatial_far_from_origin_exact(rng):
+    """The spatial kernel computes DIRECT squared differences, so it stays
+    exact for dense clusters far from the origin — where the
+    |q|^2+|s|^2-2qs expansion loses eps*|coord|^2 (~0.4 absolute at offset
+    1000, versus true neighbor gaps of ~1e-4). This is the regime of
+    whole-scene / outdoor-scan inference; the reference's nanoflann had the
+    same direct-difference numerics (knn_.cxx L2 adapter)."""
+    from pointasnl_tpu.ops.pallas import knn_spatial as ks
+
+    pts = (rng.randn(1, 400, 3) * 0.01 + 1000.0).astype(np.float32)
+    support = jnp.asarray(pts)
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = ks.knn_point(8, support, support)
+    # float64 ground truth (the f32 jnp oracle is NOT exact here)
+    x = pts[0].astype(np.float64)
+    d2 = ((x[:, None] - x[None]) ** 2).sum(-1)
+    want = np.argsort(d2, axis=1, kind="stable")[:, :8]
+    np.testing.assert_array_equal(np.asarray(got_i)[0], want)
