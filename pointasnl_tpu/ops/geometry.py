@@ -18,9 +18,11 @@ round-trips. The reference instead crossed the device boundary per layer
 tf_ops/3d_interpolation/tf_interpolate.cpp:187) — keeping the whole step
 on-device is the main structural win of this rebuild.
 
-Distance computations use the |q|^2 + |s|^2 - 2 q.s expansion so the O(M*N)
-cross term runs on the MXU; comparisons are done on squared distances in
-float32 with HIGHEST matmul precision so top-k ordering is stable.
+Distance computations are DIRECT squared differences in float32 — the same
+formula as the reference's CUDA kernels and nanoflann — because the
+MXU-friendly |q|^2+|s|^2-2qs expansion loses eps*|coord|^2 of absolute
+accuracy (measurably mis-ranking neighbors at scene scale; see
+BENCH_OPS.md "Scene-scale numerics").
 """
 
 from __future__ import annotations
@@ -38,23 +40,32 @@ Array = jax.Array
 _FPS_INF = 1e38
 
 
-def pairwise_sqdist(query: Array, support: Array, *, precision=lax.Precision.HIGHEST) -> Array:
+def pairwise_sqdist(query: Array, support: Array, *, precision=None) -> Array:
     """Squared euclidean distances between two batched point sets.
+
+    Computed as DIRECT differences, sum((q - s)^2), matching the reference
+    kernels bit-for-bit in formula (tf_grouping_g.cu:24, nanoflann's L2
+    adapter): error stays ~eps*d2. The MXU-friendly |q|^2+|s|^2-2qs
+    expansion was used here originally, but its error grows as
+    eps*(|q|^2+|s|^2) — ~2e-5 absolute on a 9 m scene, enough to mis-rank
+    ~1% of neighbors at scan density, and catastrophic for clouds far from
+    the origin (BENCH_OPS.md "Scene-scale numerics"). XLA fuses the
+    broadcast-subtract-square-reduce, so no (B, M, N, 3) tensor
+    materializes. `precision` is accepted for backward compatibility and
+    ignored (no matmul remains).
 
     Args:
       query:   (B, M, 3) float array.
       support: (B, N, 3) float array.
 
     Returns:
-      (B, M, N) float32 squared distances, clamped to >= 0.
+      (B, M, N) float32 squared distances.
     """
+    del precision
     query = query.astype(jnp.float32)
     support = support.astype(jnp.float32)
-    q2 = jnp.sum(query * query, axis=-1, keepdims=True)  # (B, M, 1)
-    s2 = jnp.sum(support * support, axis=-1, keepdims=True)  # (B, N, 1)
-    cross = jnp.einsum("bmd,bnd->bmn", query, support, precision=precision)
-    d2 = q2 + jnp.swapaxes(s2, -1, -2) - 2.0 * cross
-    return jnp.maximum(d2, 0.0)
+    diff = query[:, :, None, :] - support[:, None, :, :]
+    return jnp.sum(jnp.square(diff), axis=-1)
 
 
 def farthest_point_sample(npoint: int, xyz: Array) -> Array:

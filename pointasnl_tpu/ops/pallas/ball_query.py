@@ -38,10 +38,14 @@ def _ball_kernel(q_ref, s_ref, s2_ref, idx_ref, cnt_ref, *,
     npad = s.shape[-1]
     kp = idx_ref.shape[-1]
 
-    qs = jnp.dot(q, s, preferred_element_type=jnp.float32,
-                 precision=lax.Precision.HIGHEST)  # (TILE_M, Np)
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    d2 = jnp.maximum((q2 + s2_ref[0]) - 2.0 * qs, 0.0)  # pads stay +inf
+    # direct differences, the reference's exact formula
+    # (tf_grouping_g.cu:24: sqrtf((x2-x1)^2+...) < radius); pads stay +inf
+    d2 = (
+        jnp.square(q[:, 0:1] - s[0:1, :])
+        + jnp.square(q[:, 1:2] - s[1:2, :])
+        + jnp.square(q[:, 2:3] - s[2:3, :])
+    )
+    d2 = jnp.where(s2_ref[0] < _INF, d2, _INF)
 
     lane_ids = lax.broadcasted_iota(jnp.int32, (TILE_M, npad), dimension=1)
     out_lanes = lax.broadcasted_iota(jnp.int32, (TILE_M, kp), dimension=1)

@@ -60,10 +60,15 @@ def _knn_kernel_resident(q_ref, s_ref, s2_ref, dist_ref, idx_ref, d2_scratch,
     npad = s.shape[-1]
     kp = dist_ref.shape[-1]
 
-    qs = jnp.dot(q, s, preferred_element_type=jnp.float32,
-                 precision=lax.Precision.HIGHEST)  # (TM, Np) MXU
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    d2_scratch[:] = jnp.maximum((q2 + s2_ref[0]) - 2.0 * qs, 0.0)
+    # Direct differences (reference numerics, tf_grouping_g.cu:24): error
+    # ~eps*d2, unlike the expansion's eps*(|q|^2+|s|^2). Pad lanes are
+    # masked to +inf via the s2 row.
+    d2 = (
+        jnp.square(q[:, 0:1] - s[0:1, :])
+        + jnp.square(q[:, 1:2] - s[1:2, :])
+        + jnp.square(q[:, 2:3] - s[2:3, :])
+    )
+    d2_scratch[:] = jnp.where(s2_ref[0] < _INF, d2, _INF)
 
     lane_ids = lax.broadcasted_iota(jnp.int32, (TILE_M, npad), dimension=1)
     out_lanes = lax.broadcasted_iota(jnp.int32, (TILE_M, kp), dimension=1)
@@ -101,11 +106,13 @@ def _knn_kernel(q_ref, s_ref, s2_ref, dist_ref, idx_ref, *, k: int, tn: int):
     s = s_ref[0]  # (4, TILE_N)
     kp = dist_ref.shape[-1]
 
-    qs = jnp.dot(q, s, preferred_element_type=jnp.float32,
-                 precision=lax.Precision.HIGHEST)  # (TILE_M, TILE_N)
-    q2 = jnp.sum(q * q, axis=-1, keepdims=True)
-    # oracle-order arithmetic + clamp; +inf survives on padded lanes
-    d2c = jnp.maximum((q2 + s2_ref[0]) - 2.0 * qs, 0.0)
+    # direct differences (see the resident kernel); +inf on padded lanes
+    d2 = (
+        jnp.square(q[:, 0:1] - s[0:1, :])
+        + jnp.square(q[:, 1:2] - s[1:2, :])
+        + jnp.square(q[:, 2:3] - s[2:3, :])
+    )
+    d2c = jnp.where(s2_ref[0] < _INF, d2, _INF)
 
     base = nt * tn
     chunk_ids = base + lax.broadcasted_iota(jnp.int32, d2c.shape, dimension=1)
