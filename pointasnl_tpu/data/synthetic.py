@@ -50,8 +50,10 @@ def surface_scene(
             planes.append((c, np.array([size[0], 0, 0]), np.array([0, size[1], 0])))
             planes.append((c, np.array([size[0], 0, 0]), np.array([0, 0, size[2]])))
         areas = np.array([np.linalg.norm(np.cross(u, v)) for _, u, v in planes])
-        counts = np.maximum((areas / areas.sum() * n).astype(int), 1)
-        counts[0] += n - counts.sum()  # exact total
+        # cumulative-rounding allocation: sums to n exactly, never negative
+        # (small planes may get 0 points at tiny n, which is fine)
+        edges = np.round(np.cumsum(areas) / areas.sum() * n).astype(int)
+        counts = np.diff(edges, prepend=0)
         pts = []
         for (o, u, v), c in zip(planes, counts):
             uv = rng.rand(c, 2)

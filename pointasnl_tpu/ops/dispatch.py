@@ -166,15 +166,12 @@ def sampling(npoint, pts, feature=None):
 
 def grouping(feature, k, src_xyz, q_xyz, *, use_xyz=True, use_knn=True,
              radius=0.2, idx=None):
-    """Neighborhood grouping (see geometry.grouping); kNN goes through dispatch."""
-    if idx is not None:
-        pass
-    elif use_knn:
-        _, idx = knn_point(k, src_xyz, q_xyz)
-    else:
-        idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
-    grouped_xyz = group_point(src_xyz, idx)
-    grouped_feature = group_point(feature, idx)
-    if use_xyz:
-        grouped_feature = jnp.concatenate([grouped_xyz, grouped_feature], axis=-1)
-    return grouped_xyz, grouped_feature, idx
+    """Neighborhood grouping (see geometry.grouping); the neighbor search
+    goes through dispatch, the gather/concat through the single geometry
+    implementation."""
+    if idx is None:
+        if use_knn:
+            _, idx = knn_point(k, src_xyz, q_xyz)
+        else:
+            idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
+    return _g.grouping(feature, k, src_xyz, q_xyz, use_xyz=use_xyz, idx=idx)

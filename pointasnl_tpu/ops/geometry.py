@@ -389,12 +389,11 @@ def grouping(
     the query set is a subset of the support set (exact, since each query's
     neighbors are independent of the rest of the query set).
     """
-    if idx is not None:
-        pass
-    elif use_knn:
-        _, idx = knn_point(k, src_xyz, q_xyz)
-    else:
-        idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
+    if idx is None:
+        if use_knn:
+            _, idx = knn_point(k, src_xyz, q_xyz)
+        else:
+            idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
     grouped_xyz = group_point(src_xyz, idx)
     grouped_feature = group_point(feature, idx)
     if use_xyz:

@@ -164,8 +164,9 @@ def knn_point(k: int, support: jax.Array, query: jax.Array):
       - N <= RESIDENT_MAX_N: VMEM-resident full-scan kernel (fastest at the
         parity crop scales — measured vs the spatial kernel, BENCH_OPS.md);
       - larger N: the Morton/bounding-sphere pruned kernel (knn_spatial.py),
-        measured 5.4x the streaming scan at N=131072;
-      - beyond its VMEM cap: the streaming chunk kernel.
+        measured 5.4x the streaming scan at N=131072; VMEM-resident pack to
+        N=262144, HBM pack with per-visit DMA to N=524288;
+      - beyond that: the streaming chunk kernel.
 
     Gradients are cut (the reference's kNN runs under tf.py_func and carries
     none; downstream layers differentiate through the gather, not the search).
@@ -181,7 +182,7 @@ def knn_point(k: int, support: jax.Array, query: jax.Array):
     if mode == "always" or (mode != "never" and N > RESIDENT_MAX_N):
         from pointasnl_tpu.ops.pallas import knn_spatial as _ks
 
-        if k <= _ks.KP and N <= _ks.MAX_SPATIAL_N:
+        if k <= _ks.KP and N <= _ks.MAX_SPATIAL_HBM_N:
             # Called OUTSIDE any jit wrapper of ours so knn_spatial can see
             # whether query IS support (the self-kNN layers pass xyz twice).
             return _ks.knn_point(k, support, query)

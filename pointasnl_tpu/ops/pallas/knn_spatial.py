@@ -16,14 +16,19 @@ geometry instead of approximating it:
      (a tiny (T, S) argsort), and the kernel's while-loop STOPS as soon as
      the next segment's lb exceeds the tile's current worst kth distance —
      every remaining segment provably cannot contribute a neighbor.
-  4. Visited segments compute a (TILE_M, SEG_W) distance block on the MXU
-     and fold it into the running top-k ONLY if the block minimum beats the
-     tile bound (most late segments don't).
+  4. Visited segments compute a (TILE_M, SEG_W) distance block (direct VPU
+     squared differences — see the in-kernel note on why not the MXU
+     expansion) and fold it into the running top-k ONLY if the block
+     minimum beats the tile bound (most late segments don't).
 
 Pruning is exact, not approximate: a segment is skipped only when its
-lower bound (shrunk by a relative epsilon to absorb the float32 expansion
-error of d2 = |q|^2 - 2 q.s + |s|^2) proves no candidate can displace any
-current top-k entry, including ties.
+lower bound proves no candidate can displace any current top-k entry,
+including ties. Float32 slack is handled ABSOLUTELY, not relatively: the
+bound lb = |qc - sc| - qr - sr suffers cancellation error proportional to
+the coordinate magnitude (a few ulps of |qc - sc|, regardless of how small
+lb itself is), so segment radii are inflated by ~1e-5 of the scene extent
+at preprocessing — orders of magnitude above the true error, negligible
+against real segment radii.
 
 Tie-break parity with the oracle (lax.top_k stability = lowest support index
 wins) is kept explicitly: the merge extracts by lexicographic (d2, original
@@ -59,9 +64,12 @@ MAX_SPATIAL_N = 1 << 18
 MAX_SPATIAL_HBM_N = 1 << 19
 _INF = 3e38
 _BIGID = 3e38
-# Relative shrink applied to lower bounds so float32 error in the distance
-# expansion can never cause an over-eager skip.
-_LB_SHRINK = 1.0 - 1e-5
+# Absolute slack on sphere bounds, as a fraction of the scene extent: the
+# f32 error of |qc-sc| - qr - sr is absolute (~ulps of the coordinate
+# magnitude, NOT of the small difference), so a relative shrink of lb^2
+# cannot cover it. Inflating the segment radii by EPS_FRAC * extent gives
+# every bound (tile-level and per-row) a margin ~100x the true error.
+_EPS_FRAC = 1e-5
 
 
 def _round_up(x: int, m: int) -> int:
@@ -150,7 +158,7 @@ def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, sph_ref,
             + jnp.square(q[:, 1:2] - cy)
             + jnp.square(q[:, 2:3] - cz)
         )
-        lb_row = jnp.square(jnp.maximum(jnp.sqrt(dq2) - rad, 0.0)) * _LB_SHRINK
+        lb_row = jnp.square(jnp.maximum(jnp.sqrt(dq2) - rad, 0.0))
         rowkth = run_d[:, k - 1 : k]
 
         def visit(args):
@@ -268,6 +276,8 @@ def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query):
     pack = pack.reshape(B, 8, n_seg, SEG_W).swapaxes(1, 2)  # (B, S, 8, W)
 
     sc, sr = _sphere(s_sorted.reshape(B, n_seg, SEG_W, 3))  # (B,S,3), (B,S)
+    # absolute float32 slack for every sphere bound (see _EPS_FRAC)
+    sr = sr + _EPS_FRAC * jnp.max(hi - lo, axis=-1)
 
     if self_query:
         q_sorted, qperm = s_sorted[:, :N], perm
@@ -281,7 +291,7 @@ def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query):
         jnp.maximum(jnp.sum(jnp.square(qc[:, :, None] - sc[:, None]), axis=-1), 0.0)
     )  # (B, T, S)
     lb = jnp.maximum(ccd - qr[:, :, None] - sr[:, None, :], 0.0)
-    lb2 = jnp.square(lb) * _LB_SHRINK
+    lb2 = jnp.square(lb)
     order = jnp.argsort(lb2, axis=2).astype(jnp.int32)  # (B, T, S)
     lbs = jnp.take_along_axis(lb2, order, axis=2)
     # +inf sentinel so the while loop's lookahead read at s == S is safe.

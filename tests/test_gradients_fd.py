@@ -40,6 +40,5 @@ def test_three_interpolate_fd(rng):
 def test_pairwise_sqdist_fd(rng):
     q = jnp.asarray(rng.randn(1, 6, 3).astype(np.float32) * 2)
     s = jnp.asarray(rng.randn(1, 9, 3).astype(np.float32) * 2)
-    # keep away from the max(d2, 0) clamp's kink (distinct random points)
     check_grads(lambda a, b: g.pairwise_sqdist(a, b), (q, s), order=1,
                 modes=["rev"], atol=5e-3, rtol=5e-3)

@@ -179,3 +179,18 @@ def test_pallas_knn_spatial_far_from_origin_exact(rng):
     d2 = ((x[:, None] - x[None]) ** 2).sum(-1)
     want = np.argsort(d2, axis=1, kind="stable")[:, :8]
     np.testing.assert_array_equal(np.asarray(got_i)[0], want)
+
+
+def test_knn_routing_reaches_hbm_spatial_mode(rng, monkeypatch):
+    """The public knn_point gate must accept up to MAX_SPATIAL_HBM_N, not
+    just the VMEM cap (regression: the HBM-pack mode was unreachable)."""
+    from pointasnl_tpu.ops.pallas import knn as pknn
+    from pointasnl_tpu.ops.pallas import knn_spatial as ks
+
+    monkeypatch.setattr(pknn, "RESIDENT_MAX_N", 0)
+    monkeypatch.setattr(ks, "MAX_SPATIAL_N", 0)  # force the HBM-pack mode
+    support = jnp.asarray(rng.randn(1, 640, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = pknn.knn_point(8, support, support)
+    want_d, want_i = g.knn_point(8, support, support)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
