@@ -3,8 +3,9 @@
 Two backends share one API:
   - "jnp":    pure jax.numpy reference implementations (always correct,
               differentiable, run anywhere) — pointasnl_tpu.ops.geometry.
-  - "pallas": hand-tiled TPU kernels for the hot ops (FPS today; more as
-              profiling demands) — pointasnl_tpu.ops.pallas.
+  - "pallas": hand-tiled TPU kernels for the hot ops (FPS, kNN with
+              resident/spatial/streaming routing, ball query) —
+              pointasnl_tpu.ops.pallas.
 
 Selection:
   - default "auto": pallas on TPU backends, jnp elsewhere;
@@ -97,8 +98,9 @@ farthest_point_sample.__doc__ = _g.farthest_point_sample.__doc__
 def knn_point(k, support, query):
     # XLA's top_k/sort lowering dominates whole train steps on this hardware
     # (sustained fetch-forced timing, BENCH_OPS.md: seg step 996 ms with the
-    # top_k path vs 104 ms with the kernel), so "auto" on TPU uses the Pallas
-    # streaming kernel (sort-free min-extraction, VMEM-resident distances).
+    # top_k path vs ~75 ms with the kernels), so "auto" on TPU uses the
+    # Pallas kernels (sort-free min-extraction; resident scan to N=16384,
+    # Morton/sphere-pruned spatial kernel to N=524288, streaming beyond).
     if _use_pallas():
         try:
             from pointasnl_tpu.ops.pallas import knn as _pknn
