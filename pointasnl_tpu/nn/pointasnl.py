@@ -272,12 +272,22 @@ class PointASNLSetAbstraction(nn.Module):
         bn_momentum=0.9,
         fps_idx: Optional[Array] = None,
         knn_idx: Optional[Array] = None,
+        support_xyz: Optional[Array] = None,
+        support_feature: Optional[Array] = None,
     ) -> Tuple[Array, Array]:
         """`fps_idx` / `knn_idx` are exact precomputed-geometry hints: the
         models pass FPS indices and rows of an existing self-kNN graph so the
         same search never runs twice per step (see models/sem_seg_res.py).
         Results are identical to the unhinted path — a kNN row depends only
-        on the query point, and FPS only on xyz."""
+        on the query point, and FPS only on xyz.
+
+        `support_xyz` / `support_feature` decouple the neighbor/attention
+        SOURCE set from the query set (default: the query set itself). Used
+        by the point-sharded whole-scene forward (parallel/whole_scene.py):
+        each device passes its query shard as xyz/feature and the replicated
+        full cloud as support, with knn_idx rows for its shard."""
+        sup_xyz = support_xyz if support_xyz is not None else xyz
+        sup_feature = support_feature if support_feature is not None else feature
         B, N, C = feature.shape
         downsampling = N != self.npoint
 
@@ -291,9 +301,9 @@ class PointASNLSetAbstraction(nn.Module):
             new_xyz, new_feature = xyz, feature
 
         grouped_xyz, new_point, _ = ops.grouping(
-            feature,
+            sup_feature,
             self.nsample,
-            xyz,
+            sup_xyz,
             new_xyz,
             use_knn=self.use_knn,
             radius=self.radius if self.radius is not None else 0.2,
@@ -317,7 +327,7 @@ class PointASNLSetAbstraction(nn.Module):
                 kv_block_size=self.nl_kv_block_size,
                 use_flash=self.nl_use_flash,
                 name="nonlocal",
-            )(feature, new_feature, training=training, bn_momentum=bn_momentum)
+            )(sup_feature, new_feature, training=training, bn_momentum=bn_momentum)
 
         # Skip connection: max over neighbors of the raw group tensor.
         skip_spatial = jnp.max(new_point, axis=2)

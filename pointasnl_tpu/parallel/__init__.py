@@ -17,6 +17,7 @@ from pointasnl_tpu.parallel.sharded_knn import (
     knn_point_query_sharded,
     knn_point_sharded,
 )
+from pointasnl_tpu.parallel.whole_scene import predict_scene_sharded
 
 __all__ = [
     "batch_sharding",
@@ -24,6 +25,7 @@ __all__ = [
     "knn_point_query_sharded",
     "knn_point_sharded",
     "make_mesh",
+    "predict_scene_sharded",
     "replicate",
     "shard_batch",
 ]

@@ -1,0 +1,60 @@
+"""Point-sharded whole-scene forward vs the monolithic model (8-dev mesh)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from pointasnl_tpu.models import PointASNLSemSegRes
+from pointasnl_tpu.parallel import make_mesh
+from pointasnl_tpu.parallel.whole_scene import predict_scene_sharded
+
+
+def _init(model, x):
+    rngs = {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}
+    return model.init(rngs, x, training=False, bn_momentum=0.9)
+
+
+@pytest.mark.parametrize("feature_channel", [0, 3], ids=["xyz", "rgb"])
+def test_sharded_scene_matches_model(rng, feature_channel):
+    mesh = make_mesh()
+    B, N, C = 1, 2048, 5  # N divisible by 256 * 8
+    x = jnp.asarray(rng.randn(B, N, 3 + feature_channel).astype(np.float32))
+    model = PointASNLSemSegRes(num_class=C, feature_channel=feature_channel)
+    variables = _init(model, x)
+
+    want, _ = model.apply(variables, x, training=False, bn_momentum=0.9)
+    got = predict_scene_sharded(
+        variables, x, mesh, num_class=C, feature_channel=feature_channel,
+        nl_kv_block_size=None,  # dense NL, like the monolithic model
+    )
+    assert got.shape == (B, N, C)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+    )
+
+
+def test_sharded_scene_blockwise_nl_close(rng):
+    """Blockwise-NL streaming (the at-scale configuration) stays numerically
+    equivalent to the dense maps."""
+    mesh = make_mesh()
+    x = jnp.asarray(rng.randn(1, 2048, 3).astype(np.float32))
+    model = PointASNLSemSegRes(num_class=4)
+    variables = _init(model, x)
+    want, _ = model.apply(variables, x, training=False, bn_momentum=0.9)
+    got = predict_scene_sharded(variables, x, mesh, num_class=4,
+                                nl_kv_block_size=512)
+    # online-softmax summation order differs from the dense map; through 4
+    # NL layers + BN on random-init activations the reordering noise
+    # amplifies to ~0.6% relative — a sanity bound, not a bitwise claim
+    # (single-cell equivalence is pinned tightly in test_nl_blockwise.py)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_sharded_scene_rejects_bad_n(rng):
+    mesh = make_mesh()
+    x = jnp.zeros((1, 1000, 3), jnp.float32)
+    with pytest.raises(ValueError, match="divide"):
+        predict_scene_sharded({"params": {}}, x, mesh)
