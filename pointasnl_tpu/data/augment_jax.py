@@ -8,7 +8,6 @@ explicit PRNG key (SURVEY.md §7 randomness plumbing).
 
 from __future__ import annotations
 
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

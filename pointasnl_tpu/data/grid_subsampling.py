@@ -17,7 +17,7 @@ order. `compute()` keeps the reference wrapper's keyword surface
 
 from __future__ import annotations
 
-from typing import Optional, Tuple, Union
+from typing import Optional
 
 import numpy as np
 

@@ -8,8 +8,7 @@ numpy structured arrays.
 
 from __future__ import annotations
 
-import sys
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 

@@ -15,7 +15,7 @@ Key semantic notes preserved from the reference:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

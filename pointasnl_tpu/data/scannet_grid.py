@@ -18,7 +18,6 @@ Behavioral parity with ScanNet/scannet_dataset_grid.py:
 from __future__ import annotations
 
 import json
-import os
 import pickle
 import time
 from os import listdir, makedirs

@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import os
 import random
-from typing import List, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from os.path import exists, join
+from os.path import join
 from typing import Iterator, List, Optional
 
 import numpy as np

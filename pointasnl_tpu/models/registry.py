@@ -6,7 +6,7 @@ Mirrors the reference's dynamic `importlib.import_module(FLAGS.model)`
 
 from __future__ import annotations
 
-from typing import Dict, Type
+from typing import Dict
 
 MODEL_REGISTRY: Dict[str, type] = {}
 

@@ -9,7 +9,7 @@ automatically (the NCCL-free equivalent of an allreduce, SURVEY.md §2.9).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
