@@ -29,10 +29,12 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _ball_kernel(q_ref, s_ref, s2_ref, idx_ref, cnt_ref, *,
+def _ball_kernel(q_ref, s_ref, s2_ref, idx_ref, cnt_ref, d2_scratch, *,
                  nsample: int, radius2: float, n_real: int):
     # q_ref: (1, TILE_M, 4); s_ref: (1, 4, Np); s2_ref: (1, 1, Np) (+inf pad)
     # idx_ref: (1, TILE_M, Kp) i32; cnt_ref: (1, TILE_M, LANE) i32
+    # d2_scratch: (TILE_M, Np) f32 — accumulated one coordinate at a time so
+    # only one temporary is live (see the resident kNN kernel's note)
     q = q_ref[0]
     s = s_ref[0]
     npad = s.shape[-1]
@@ -40,12 +42,10 @@ def _ball_kernel(q_ref, s_ref, s2_ref, idx_ref, cnt_ref, *,
 
     # direct differences, the reference's exact formula
     # (tf_grouping_g.cu:24: sqrtf((x2-x1)^2+...) < radius); pads stay +inf
-    d2 = (
-        jnp.square(q[:, 0:1] - s[0:1, :])
-        + jnp.square(q[:, 1:2] - s[1:2, :])
-        + jnp.square(q[:, 2:3] - s[2:3, :])
-    )
-    d2 = jnp.where(s2_ref[0] < _INF, d2, _INF)
+    d2_scratch[:] = jnp.square(q[:, 0:1] - s[0:1, :])
+    d2_scratch[:] = d2_scratch[:] + jnp.square(q[:, 1:2] - s[1:2, :])
+    d2_scratch[:] = d2_scratch[:] + jnp.square(q[:, 2:3] - s[2:3, :])
+    d2 = jnp.where(s2_ref[0] < _INF, d2_scratch[:], _INF)
 
     lane_ids = lax.broadcasted_iota(jnp.int32, (TILE_M, npad), dimension=1)
     out_lanes = lax.broadcasted_iota(jnp.int32, (TILE_M, kp), dimension=1)
@@ -116,6 +116,7 @@ def query_ball_point(radius: float, nsample: int, xyz: jax.Array, new_xyz: jax.A
             jax.ShapeDtypeStruct((B, mpad, kp), jnp.int32),
             jax.ShapeDtypeStruct((B, mpad, LANE), jnp.int32),
         ),
+        scratch_shapes=[pltpu.VMEM((TILE_M, npad), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=B * mpad * npad * (8 + 3 * nsample),
             bytes_accessed=B * (mpad * 4 + 4 * npad + mpad * (kp + LANE)) * 4,

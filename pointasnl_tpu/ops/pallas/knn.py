@@ -41,9 +41,11 @@ LANE = 128
 TILE_M = 128
 TILE_N = 4096  # support chunk of the streaming kernel; bounds VMEM at any N
 # Up to this support size the whole (TILE_M, N) distance block stays resident
-# in VMEM scratch (8 MB at 16384) — measured 2.2x faster than the streaming
-# merge at parity scales, which pays per-chunk top-k read-modify-writes.
-RESIDENT_MAX_N = 16384
+# in VMEM scratch — measured 2.2x faster than the streaming merge at parity
+# scales. The cap leaves room for one (TILE_M, N) temporary next to the
+# scratch under the 16 MB scoped-VMEM limit (12288 -> 6.3 + 6.3 MB); the
+# spatial kernel takes over beyond.
+RESIDENT_MAX_N = 12288
 _INF = 3e38  # python float: jnp constants would be captured tracers
 
 
@@ -61,14 +63,15 @@ def _knn_kernel_resident(q_ref, s_ref, s2_ref, dist_ref, idx_ref, d2_scratch,
     kp = dist_ref.shape[-1]
 
     # Direct differences (reference numerics, tf_grouping_g.cu:24): error
-    # ~eps*d2, unlike the expansion's eps*(|q|^2+|s|^2). Pad lanes are
-    # masked to +inf via the s2 row.
-    d2 = (
-        jnp.square(q[:, 0:1] - s[0:1, :])
-        + jnp.square(q[:, 1:2] - s[1:2, :])
-        + jnp.square(q[:, 2:3] - s[2:3, :])
-    )
-    d2_scratch[:] = jnp.where(s2_ref[0] < _INF, d2, _INF)
+    # ~eps*d2, unlike the expansion's eps*(|q|^2+|s|^2). Accumulated INTO
+    # the scratch one coordinate at a time so only one (TILE_M, Np)
+    # temporary is ever live — a single three-term expression materializes
+    # three and blows the 16 MB scoped-VMEM limit at large N (observed at
+    # N=16384). Pad lanes are masked to +inf via the s2 row.
+    d2_scratch[:] = jnp.square(q[:, 0:1] - s[0:1, :])
+    d2_scratch[:] = d2_scratch[:] + jnp.square(q[:, 1:2] - s[1:2, :])
+    d2_scratch[:] = d2_scratch[:] + jnp.square(q[:, 2:3] - s[2:3, :])
+    d2_scratch[:] = jnp.where(s2_ref[0] < _INF, d2_scratch[:], _INF)
 
     lane_ids = lax.broadcasted_iota(jnp.int32, (TILE_M, npad), dimension=1)
     out_lanes = lax.broadcasted_iota(jnp.int32, (TILE_M, kp), dimension=1)

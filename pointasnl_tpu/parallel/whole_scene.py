@@ -22,6 +22,13 @@ The orchestration mirrors models/sem_seg_res.py submodule-for-submodule
 (including the *_1-input quirk at levels 3/4) and applies each flax
 submodule with its parameter subtree — tests pin exact equality against
 `model.apply` on the 8-device CPU mesh (tests/test_whole_scene_sharded.py).
+
+Wrap calls in jax.jit (the function builds fresh module closures per call,
+so unjitted invocations re-trace). Validated on real TPU hardware with a
+1-device mesh (131k points, 1.48 s/call); on one device the monolithic
+single-pass path (`test_scannet --single_pass`) is faster (0.61 s) — this
+API pays collective/orchestration overhead to scale N and latency across
+devices, which a 1-chip environment cannot demonstrate.
 """
 
 from __future__ import annotations
