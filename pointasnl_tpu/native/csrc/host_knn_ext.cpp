@@ -102,7 +102,9 @@ struct KDTree {
     float d2;
     int32_t idx;
     bool operator<(const Best& o) const {
-      return d2 < o.d2 || (d2 == o.d2 && idx > o.idx);
+      // ties break toward the LOWER index, matching the on-device
+      // ops.knn_point contract (lax.top_k positional stability)
+      return d2 < o.d2 || (d2 == o.d2 && idx < o.idx);
     }
   };
 
@@ -146,17 +148,21 @@ struct KDTree {
   }
 };
 
+// k_query: neighbors searched (<= N); k_out: the output row stride (the
+// caller's K) — extra slots repeat the farthest valid neighbor, like the
+// device path's degenerate-K padding.
 void run_queries(const KDTree& tree, const float* queries, int64_t m, int dim,
-                 int k, int64_t* out, bool omp) {
+                 int k_query, int k_out, int64_t* out, bool omp) {
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static) if (omp)
 #endif
   for (int64_t i = 0; i < m; ++i) {
-    std::vector<KDTree::Best> heap(k);
+    std::vector<KDTree::Best> heap(k_query);
     int count = 0;
-    tree.query(queries + i * dim, k, heap.data(), count);
-    for (int j = 0; j < k; ++j)
-      out[i * k + j] = j < count ? heap[j].idx : (count ? heap[count - 1].idx : 0);
+    tree.query(queries + i * dim, k_query, heap.data(), count);
+    for (int j = 0; j < k_out; ++j)
+      out[i * k_out + j] =
+          j < count ? heap[j].idx : (count ? heap[count - 1].idx : 0);
   }
 }
 
@@ -210,8 +216,8 @@ static PyObject* py_knn(PyObject*, PyObject* args, PyObject* kwargs) {
     tree.build(static_cast<const float*>(PyArray_DATA(pts)), n, dim, 16);
     Py_BEGIN_ALLOW_THREADS
     run_queries(tree, static_cast<const float*>(PyArray_DATA(queries)), m, dim,
-                std::min<int64_t>(k, n), static_cast<int64_t*>(PyArray_DATA(out)),
-                omp != 0);
+                static_cast<int>(std::min<int64_t>(k, n)), k,
+                static_cast<int64_t*>(PyArray_DATA(out)), omp != 0);
     Py_END_ALLOW_THREADS
   }
   Py_DECREF(pts);
@@ -262,7 +268,7 @@ static PyObject* py_knn_batch(PyObject*, PyObject* args, PyObject* kwargs) {
   for (int64_t bi = 0; bi < b; ++bi) {
     KDTree tree;
     tree.build(pts_d + bi * n * dim, n, dim, 16);
-    run_queries(tree, q_d + bi * m * dim, m, dim, keff, out_d + bi * m * k,
+    run_queries(tree, q_d + bi * m * dim, m, dim, keff, k, out_d + bi * m * k,
                 omp != 0);
   }
   Py_END_ALLOW_THREADS

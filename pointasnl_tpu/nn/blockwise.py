@@ -33,7 +33,11 @@ def _online_softmax_step(carry, qk_scale, q, k_blk, v_blk, valid=None):
     m_prev, l_prev, o_prev = carry  # (B,M,1), (B,M,1), (B,M,D)
     scores = jnp.einsum("bmc,bnc->bmn", q, k_blk) * qk_scale  # (B,M,blk)
     if valid is not None:
-        scores = jnp.where(valid[None, None, :], scores, jnp.float32(-1e30))
+        # sentinel in the scores dtype: a strong-typed f32 constant would
+        # silently promote a bf16 online-softmax accumulator to f32
+        scores = jnp.where(
+            valid[None, None, :], scores, jnp.asarray(-1e30, scores.dtype)
+        )
     m_blk = jnp.max(scores, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_blk)
     p = jnp.exp(scores - m_new)  # (B,M,blk)
@@ -73,7 +77,6 @@ def blockwise_attention(
     nblk = (N + pad) // block_size
     k_blocks = k.reshape(B, nblk, block_size, C).swapaxes(0, 1)  # (nblk, B, blk, C)
     v_blocks = v.reshape(B, nblk, block_size, D).swapaxes(0, 1)
-    valid = (jnp.arange(nblk * block_size) < N).reshape(nblk, block_size)
 
     init = (
         jnp.full((B, M, 1), -jnp.inf, q.dtype),
@@ -81,11 +84,25 @@ def blockwise_attention(
         jnp.zeros((B, M, D), q.dtype),
     )
 
-    def scan_body(carry, kv):
-        k_blk, v_blk, valid_blk = kv
-        return _online_softmax_step(carry, scale, q, k_blk, v_blk, valid_blk), None
+    if pad:
+        valid = (jnp.arange(nblk * block_size) < N).reshape(nblk, block_size)
 
-    (m, l, o), _ = lax.scan(scan_body, init, (k_blocks, v_blocks, valid))
+        def scan_body(carry, kv):
+            k_blk, v_blk, valid_blk = kv
+            return (
+                _online_softmax_step(carry, scale, q, k_blk, v_blk, valid_blk),
+                None,
+            )
+
+        (m, l, o), _ = lax.scan(scan_body, init, (k_blocks, v_blocks, valid))
+    else:
+        # no ragged tail: skip the per-block mask entirely
+
+        def scan_body(carry, kv):
+            k_blk, v_blk = kv
+            return _online_softmax_step(carry, scale, q, k_blk, v_blk), None
+
+        (m, l, o), _ = lax.scan(scan_body, init, (k_blocks, v_blocks))
     return o / l
 
 

@@ -146,13 +146,8 @@ three_nn.__doc__ = _g.three_nn.__doc__
 
 
 def three_interpolate_idw(xyz1, xyz2, points2):
-    if _use_pallas():
-        dist2, idx = three_nn(xyz1, xyz2)  # pallas-backed on TPU
-        dist2 = jnp.maximum(dist2, 1e-10)
-        inv = 1.0 / dist2
-        weight = inv / jnp.sum(inv, axis=2, keepdims=True)
-        return _g.three_interpolate(points2, idx, weight)
-    return _g.three_interpolate_idw(xyz1, xyz2, points2)
+    # one weight-numerics body (geometry), search injected per backend
+    return _g.three_interpolate_idw(xyz1, xyz2, points2, three_nn_fn=three_nn)
 
 
 three_interpolate_idw.__doc__ = _g.three_interpolate_idw.__doc__

@@ -328,14 +328,17 @@ def three_interpolate(points: Array, idx: Array, weight: Array) -> Array:
     return jnp.sum(gathered * weight[..., None], axis=2)
 
 
-def three_interpolate_idw(xyz1: Array, xyz2: Array, points2: Array) -> Array:
+def three_interpolate_idw(xyz1: Array, xyz2: Array, points2: Array,
+                          three_nn_fn=None) -> Array:
     """three_nn + inverse-distance-weighted three_interpolate, fused.
 
     Mirrors the composite used at utils/pointnet_util.py:211-216 and
     utils/pointasnl_util.py:307-320: weights are (1/d2) normalized over the
-    3 neighbors, with d2 clamped to >= 1e-10 first.
+    3 neighbors, with d2 clamped to >= 1e-10 first. `three_nn_fn` lets
+    ops.dispatch substitute the Pallas-backed search while this single body
+    owns the weight numerics.
     """
-    dist2, idx = three_nn(xyz1, xyz2)
+    dist2, idx = (three_nn_fn or three_nn)(xyz1, xyz2)
     dist2 = jnp.maximum(dist2, 1e-10)
     inv = 1.0 / dist2
     weight = inv / jnp.sum(inv, axis=2, keepdims=True)

@@ -68,11 +68,11 @@ def knn_batch_distance_pick(
     picked point so it is effectively never re-picked.
     """
     if _ext is not None:
-        seed = (
-            int(random_state.randint(2**31))
-            if isinstance(random_state, np.random.RandomState)
-            else 0
-        )
+        # no random_state -> a fresh global-np draw, matching the sklearn
+        # fallback's np.random behavior (a fixed seed here would make every
+        # call pick identical query sets)
+        rs = random_state if random_state is not None else np.random
+        seed = int(rs.randint(2**31))
         return _ext.knn_batch_distance_pick(
             np.ascontiguousarray(pts, np.float32), nqueries, K, seed=seed, omp=omp
         )

@@ -29,13 +29,18 @@ def _epoch_name(epoch: int) -> str:
     return f"epoch_{epoch:05d}"
 
 
-def _resolve(ckpt_dir: str, name: Union[str, int]) -> str:
-    """Map a checkpoint name ('latest'/'best'/'epoch_00007'/7/'7') to a path."""
+def _resolve(ckpt_dir: str, name: Union[str, int], *, for_save: bool = False) -> str:
+    """Map a checkpoint name ('latest'/'best'/'epoch_00007'/7/'7') to a path.
+
+    The 'latest'-falls-back-to-newest-epoch rule applies only when READING:
+    a save through the fallback would silently overwrite the newest numbered
+    epoch instead of writing a literal 'latest'.
+    """
     ckpt_dir = os.path.abspath(ckpt_dir)
     if isinstance(name, int) or (isinstance(name, str) and name.isdigit()):
         name = _epoch_name(int(name))
     path = os.path.join(ckpt_dir, str(name))
-    if name == "latest" and not os.path.isdir(path):
+    if not for_save and name == "latest" and not os.path.isdir(path):
         # No literal/alias 'latest': fall back to the newest numbered epoch.
         epochs = list_epochs(ckpt_dir)
         if epochs:
@@ -66,7 +71,7 @@ def _state_tree(state: Any) -> dict:
 
 def save_checkpoint(state: Any, ckpt_dir: str, name: Union[str, int] = "latest") -> str:
     """Save the array-leaf portion of a TrainState (tx/apply_fn are static)."""
-    path = _resolve(ckpt_dir, name)
+    path = _resolve(ckpt_dir, name, for_save=True)
     # Never write through an alias symlink — that would clobber its target.
     if os.path.islink(path):
         os.unlink(path)

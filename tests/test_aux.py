@@ -126,3 +126,27 @@ def test_native_knn_ext_matches_bruteforce(rng):
     np.testing.assert_array_equal(got, want)
     got_b = ext.knn_batch(pts[None].repeat(2, 0), q[None].repeat(2, 0), 12, omp=True)
     np.testing.assert_array_equal(got_b[1], want)
+
+
+def test_native_knn_duplicate_ties_and_k_gt_n():
+    """Native extension parity on the hard cases: exact-duplicate ties must
+    break toward the LOWER index (the device contract), and K > N must pad
+    with the farthest valid neighbor at the caller's row stride (regression:
+    the output was written with a min(K,N) stride into a K-stride array)."""
+    ext = pytest.importorskip("pointasnl_tpu.native.host_knn_ext")
+    rng = np.random.RandomState(3)
+    base = rng.randn(20, 3).astype(np.float32)
+    pts = np.concatenate([base, base])  # 40 points, every point duplicated
+    idx = ext.knn(pts, pts[:5], 4)
+    d2 = ((pts[:5][:, None] - pts[None]) ** 2).sum(-1)
+    want = np.argsort(d2, axis=1, kind="stable")[:, :4]
+    np.testing.assert_array_equal(idx, want)
+
+    small = base[:3]
+    idx = ext.knn(small, small, 7)  # K=7 > N=3
+    assert idx.shape == (3, 7)
+    d2 = ((small[:, None] - small[None]) ** 2).sum(-1)
+    want3 = np.argsort(d2, axis=1, kind="stable")
+    np.testing.assert_array_equal(idx[:, :3], want3)
+    np.testing.assert_array_equal(idx[:, 3:], np.repeat(want3[:, -1:], 4, axis=1))
+    assert (idx < 3).all() and (idx >= 0).all()

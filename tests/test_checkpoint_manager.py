@@ -101,3 +101,25 @@ def test_unlimited_retention(rng, tmp_path):
         state, _ = step(state, batch, key)
         mgr.save(state, epoch)
     assert mgr.epochs() == [0, 1, 2, 3, 4]
+
+
+def test_save_latest_does_not_clobber_newest_epoch(rng, tmp_path):
+    """Saving with the default 'latest' name into a dir whose 'latest' alias
+    is missing must write a literal 'latest', not overwrite the newest
+    numbered epoch (the read-side fallback must not apply to writes)."""
+    import os
+
+    from pointasnl_tpu.train.checkpoint import save_checkpoint
+
+    state, step, batch = _setup(rng)
+    s1, _ = step(state, batch, jax.random.PRNGKey(1))
+    ckpt_dir = tmp_path / "ckpts"
+    save_checkpoint(state, str(ckpt_dir), "epoch_00005")
+    assert not os.path.exists(ckpt_dir / "latest")
+
+    save_checkpoint(s1, str(ckpt_dir), "latest")
+    # epoch_00005 must still hold step 0; 'latest' holds step 1
+    r5 = restore_checkpoint(state, str(ckpt_dir), "epoch_00005")
+    rl = restore_checkpoint(state, str(ckpt_dir), "latest")
+    assert int(r5.step) == 0
+    assert int(rl.step) == 1
