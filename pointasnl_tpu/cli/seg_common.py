@@ -88,6 +88,31 @@ def str2bool(v) -> bool:
     return str(v).lower() in ("true", "1", "yes")
 
 
+def add_dp_arg(p) -> None:
+    """Attach the data-parallel flag (same surface as train_modelnet --dp)."""
+    p.add_argument(
+        "--dp",
+        action="store_true",
+        help="data-parallel: shard the batch over all local devices (batch_size "
+        "must be divisible by the device count)",
+    )
+
+
+def setup_dp(flags, state, log):
+    """Replicate state + build the batch placer when --dp is set.
+
+    Returns (state, place_batch); place_batch(x, dtype=None) shards the
+    leading dim over the 'data' mesh axis (single-device: jnp.asarray).
+    """
+    import jax.numpy as jnp
+
+    if not getattr(flags, "dp", False):
+        return state, jnp.asarray
+    from pointasnl_tpu.parallel import setup_data_parallel
+
+    return setup_data_parallel(state, flags.batch_size, log)
+
+
 def add_nl_args(p) -> None:
     """Attach the whole-scene non-local attention flags (SURVEY.md §5.7)."""
     p.add_argument(

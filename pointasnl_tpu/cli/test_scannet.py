@@ -58,6 +58,13 @@ def parse_args(argv=None):
         help="single-pass scenes are dup-padded up to a multiple of this "
         "(bounds jit recompiles across scene sizes; must be divisible by 256)",
     )
+    p.add_argument(
+        "--sharded", type=str2bool, default=False,
+        help="single-pass inference with the POINT axis sharded over all "
+        "local devices (parallel/whole_scene.py: ring-gathered neighbors, "
+        "ring non-local attention — per-device memory O(N/devices)). "
+        "Requires --single_pass and --model pointasnl_sem_seg_res.",
+    )
     return p.parse_args(argv)
 
 
@@ -100,6 +107,38 @@ def main(argv=None):
     predict = make_predict_step()
     log("Model restored.")
 
+    mesh_divisor = 256
+    if flags.sharded:
+        if not flags.single_pass:
+            raise ValueError("--sharded requires --single_pass")
+        if flags.model != "pointasnl_sem_seg_res":
+            raise ValueError(
+                "--sharded supports --model pointasnl_sem_seg_res only "
+                "(parallel/whole_scene.py orchestrates that architecture)"
+            )
+        from pointasnl_tpu.parallel import make_mesh, replicate
+        from pointasnl_tpu.parallel.whole_scene import predict_scene_sharded
+
+        mesh = make_mesh()
+        mesh_divisor = 256 * mesh.devices.size
+        # the restored state lives on one device; the shard_map needs the
+        # variables addressable on every mesh device
+        variables = replicate(
+            {"params": state.params, "batch_stats": state.batch_stats}, mesh
+        )
+        nl_blk = nl_kwargs(flags)["nl_kv_block_size"]
+
+        @jax.jit
+        def predict_sharded(variables, pts):
+            return predict_scene_sharded(
+                variables, pts, mesh,
+                num_class=flags.num_classes,
+                feature_channel=feature_channel,
+                nl_kv_block_size=nl_blk,
+            )
+
+        log(f"sharded single-pass over {mesh.devices.size} devices")
+
     scene_list_path = os.path.join(flags.data, f"scannetv2_{flags.dataset}.txt")
     if os.path.exists(scene_list_path):
         with open(scene_list_path) as fl:
@@ -119,7 +158,9 @@ def main(argv=None):
             # Whole scene through the model at once, per vote (fresh noise +
             # point order each vote — the order changes the FPS seeds, which
             # is the voting randomness, as in the reference protocol).
-            quantum = max(256, flags.pad_quantum - flags.pad_quantum % 256)
+            quantum = max(
+                mesh_divisor, flags.pad_quantum - flags.pad_quantum % mesh_divisor
+            )
             for _ in range(flags.num_votes):
                 pts, seg, smpw, pidx = dataset.whole_scene(scene_idx)
                 n = pts.shape[0]
@@ -131,9 +172,11 @@ def main(argv=None):
                     pidx = np.concatenate([pidx, pidx[dup]], axis=0)
                 order = rs.permutation(pts.shape[0])
                 pts, smpw, pidx = pts[order], smpw[order], pidx[order]
-                logits = np.asarray(
-                    predict(state, jnp.asarray(pts[None, :, : 3 + feature_channel]))
-                )[0]
+                scene_in = jnp.asarray(pts[None, :, : 3 + feature_channel])
+                if flags.sharded:
+                    logits = np.asarray(predict_sharded(variables, scene_in))[0]
+                else:
+                    logits = np.asarray(predict(state, scene_in))[0]
                 pred_label = np.argmax(logits[:, 1:], 1) + 1
                 vote_label_pool = add_vote(
                     vote_label_pool, pidx[None], pred_label[None], smpw[None]

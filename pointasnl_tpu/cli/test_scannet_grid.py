@@ -33,6 +33,11 @@ def parse_args(argv=None):
     p.add_argument("--split", default="validation", choices=["validation", "test"])
     p.add_argument("--batch_size", type=int, default=0, help="0 = train-time value")
     p.add_argument("--max_rounds", type=int, default=100, help="safety cap on vote rounds")
+    p.add_argument(
+        "--profile", action="store_true",
+        help="trace the first inference steps into <dump_dir>/profile "
+        "(the reference's TimeLiner role, test_scannet_grid.py:53-75)",
+    )
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -106,10 +111,22 @@ def main(argv=None):
             return np.concatenate([pts, batch["colors"].astype(np.float32)], axis=-1)
         return pts
 
+    from pointasnl_tpu.train.profiling import start_trace, stop_trace
+
     round_idx = 0
+    pred_steps = 0
+    tracing = False
     while round_idx < flags.max_rounds:
         for batch in dataset.batches(flags.split, cfg, augment=False):
+            if flags.profile and pred_steps == 0:
+                start_trace(os.path.join(dump_dir, "profile"))
+                tracing = True
+            pred_steps += 1
             logits = np.asarray(predict(state, jnp.asarray(model_input(batch))))
+            if tracing and pred_steps >= 3:
+                stop_trace()  # logits fetch above already synced the device
+                tracing = False
+                log(f"profile trace written to {dump_dir}/profile")
             probs = np.asarray(jax.nn.softmax(jnp.asarray(logits[:, :, 1:]), axis=-1))
             for b in range(probs.shape[0]):
                 c_i = int(batch["cloud_ind"][b])
@@ -122,6 +139,9 @@ def main(argv=None):
         round_idx += 1
         if min_pot > flags.num_votes:
             break
+    if tracing:  # fewer steps than the trace window
+        stop_trace()
+        log(f"profile trace written to {dump_dir}/profile")
 
     if flags.split == "validation":
         miou = vote_projection_eval(dataset, cloud_probs, num_classes, log)

@@ -30,6 +30,11 @@ def parse_args(argv=None):
     p.add_argument("--num_votes", type=float, default=4.0)
     p.add_argument("--batch_size", type=int, default=0, help="0 = train-time value")
     p.add_argument("--max_rounds", type=int, default=100)
+    p.add_argument(
+        "--profile", action="store_true",
+        help="trace the first inference steps into <save_dir>/profile "
+        "(the reference's TimeLiner role, test_scannet_grid.py:53-75)",
+    )
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -89,11 +94,23 @@ def main(argv=None):
         for f in dataset.test_list
     ]
 
+    from pointasnl_tpu.train.profiling import start_trace, stop_trace
+
     smooth = 0.98
     round_idx = 0
+    pred_steps = 0
+    tracing = False
     while round_idx < flags.max_rounds:
         for batch in dataset.batches("test", cfg, augment=False):
+            if flags.profile and pred_steps == 0:
+                start_trace(os.path.join(flags.save_dir, "profile"))
+                tracing = True
+            pred_steps += 1
             logits = np.asarray(predict(state, jnp.asarray(batch["points"])))
+            if tracing and pred_steps >= 3:
+                stop_trace()  # logits fetch above already synced the device
+                tracing = False
+                log(f"profile trace written to {flags.save_dir}/profile")
             probs = np.asarray(jax.nn.softmax(jnp.asarray(logits[:, :, 1:]), axis=-1))
             for b in range(probs.shape[0]):
                 c_i = int(batch["cloud_ind"][b])
@@ -106,6 +123,9 @@ def main(argv=None):
         round_idx += 1
         if min_pos > flags.num_votes:
             break
+    if tracing:  # fewer steps than the trace window
+        stop_trace()
+        log(f"profile trace written to {flags.save_dir}/profile")
 
     inv_lut = np.zeros(num_classes, np.uint32)
     for k, v in LEARNING_MAP_INV.items():

@@ -110,12 +110,13 @@ def main(argv=None):
         restore_checkpoint,
     )
     from pointasnl_tpu.train.state import make_optimizer
-    from pointasnl_tpu.utils import Logger, save_args
+    from pointasnl_tpu.utils import Logger, save_args, snapshot_sources
 
     from pointasnl_tpu.train.summary import MetricWriter
 
     log = Logger(flags.log_dir)
     save_args(flags, flags.log_dir)
+    snapshot_sources(flags.log_dir, flags.model, extra_modules=(__file__,))
     train_writer = MetricWriter.create(flags.log_dir, "train", backend="csv")
     test_writer = MetricWriter.create(flags.log_dir, "test", backend="csv")
     rs = np.random.RandomState(flags.seed)
@@ -165,19 +166,10 @@ def main(argv=None):
     # Optional data parallelism: replicate state, shard each batch over the
     # 'data' mesh axis; the jitted step then runs SPMD (psum grads, sync-BN).
     place_batch = jnp.asarray
-    if flags.dp and len(jax.devices()) > 1:
-        from pointasnl_tpu.parallel import batch_sharding, make_mesh, replicate
+    if flags.dp:
+        from pointasnl_tpu.parallel import setup_data_parallel
 
-        mesh = make_mesh()
-        ndev = mesh.devices.size
-        if flags.batch_size % ndev != 0:
-            raise ValueError(f"batch_size {flags.batch_size} not divisible by {ndev} devices")
-        state = replicate(state, mesh)
-        log(f"data-parallel over {ndev} devices")
-
-        def place_batch(x):
-            x = np.asarray(x)
-            return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        state, place_batch = setup_data_parallel(state, flags.batch_size, log)
 
     max_epoch = 2 if flags.debug else flags.max_epoch
     ckpt_mgr = CheckpointManager(

@@ -15,7 +15,15 @@ import time
 
 import numpy as np
 
-from pointasnl_tpu.cli.seg_common import SegEvalAccumulator, add_nl_args, nl_kwargs, pad_seg_batch, str2bool
+from pointasnl_tpu.cli.seg_common import (
+    SegEvalAccumulator,
+    add_dp_arg,
+    add_nl_args,
+    nl_kwargs,
+    pad_seg_batch,
+    setup_dp,
+    str2bool,
+)
 
 SEG_LABEL_TO_CAT = {
     0: "unannotated", 1: "wall", 2: "floor", 3: "chair", 4: "table", 5: "desk",
@@ -44,6 +52,7 @@ def parse_args(argv=None):
     p.add_argument("--whole_eval_start", type=int, default=500)
     p.add_argument("--whole_eval_gap", type=int, default=10)
     add_nl_args(p)
+    add_dp_arg(p)
     p.add_argument(
         "--max_to_keep", type=int, default=100,
         help="retained epoch-numbered checkpoints (<=0 keeps all)",
@@ -88,10 +97,11 @@ def main(argv=None):
         restore_checkpoint,
     )
     from pointasnl_tpu.train.state import make_optimizer
-    from pointasnl_tpu.utils import Logger, save_args
+    from pointasnl_tpu.utils import Logger, save_args, snapshot_sources
 
     log = Logger(flags.log_dir)
     save_args(flags, flags.log_dir)
+    snapshot_sources(flags.log_dir, flags.model, extra_modules=(__file__,))
     rs = np.random.RandomState(flags.seed)
     feature_channel = 3 if flags.with_rgb else 0
 
@@ -128,6 +138,7 @@ def main(argv=None):
         state = restore_checkpoint(state, flags.log_dir, "latest")
         log(f"resumed from latest checkpoint at step {int(state.step)}")
 
+    state, place = setup_dp(flags, state, log)
     train_step = make_train_step(bn_schedule=bn_sched, task="seg", uniform_weight=0.01)
     eval_step = make_eval_step(task="seg")
     dropout_rng = jax.random.PRNGKey(flags.seed + 1)
@@ -138,7 +149,7 @@ def main(argv=None):
         )
         logits, _ = eval_step(
             state,
-            {"points": jnp.asarray(batch_data), "labels": jnp.asarray(batch_label)},
+            {"points": place(batch_data), "labels": place(batch_label)},
         )
         preds = np.asarray(jnp.argmax(logits, -1))[:bsize]
         acc.update(preds, batch_label[:bsize], batch_smpw[:bsize])
@@ -177,9 +188,9 @@ def main(argv=None):
             state, metrics = train_step(
                 state,
                 {
-                    "points": jnp.asarray(batch_data, jnp.float32),
-                    "labels": jnp.asarray(batch_label),
-                    "smpw": jnp.asarray(batch_smpw),
+                    "points": place(batch_data, jnp.float32),
+                    "labels": place(batch_label),
+                    "smpw": place(batch_smpw),
                 },
                 dropout_rng,
             )

@@ -13,11 +13,12 @@ class proportions (train_scannet_grid.py:304-385), and a vote-projection eval
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
 
-from pointasnl_tpu.cli.seg_common import add_nl_args, nl_kwargs, str2bool
+from pointasnl_tpu.cli.seg_common import add_dp_arg, add_nl_args, nl_kwargs, setup_dp, str2bool
 from pointasnl_tpu.cli.train_scannet import SEG_LABEL_TO_CAT
 
 
@@ -42,6 +43,7 @@ def parse_args(argv=None):
     p.add_argument("--decay_step", type=int, default=400000)
     p.add_argument("--decay_rate", type=float, default=0.5)
     add_nl_args(p)
+    add_dp_arg(p)
     p.add_argument(
         "--max_to_keep", type=int, default=100,
         help="retained epoch-numbered checkpoints (<=0 keeps all)",
@@ -51,6 +53,11 @@ def parse_args(argv=None):
     p.add_argument("--first_subsampling_dl", type=float, default=0.04)
     p.add_argument("--trainval", action="store_true")
     p.add_argument("--debug", action="store_true")
+    p.add_argument(
+        "--profile", action="store_true",
+        help="trace the first train steps of the first epoch into "
+        "<log_dir>/profile (view with Perfetto/TensorBoard)",
+    )
     p.add_argument("--seed", type=int, default=0)
     flags = p.parse_args(argv)
     flags.epoch_steps = flags.epoch_sample // flags.batch_size
@@ -143,10 +150,11 @@ def main(argv=None):
     )
     from pointasnl_tpu.train.state import make_optimizer
     from pointasnl_tpu.train.steps import make_predict_step
-    from pointasnl_tpu.utils import Logger, save_args
+    from pointasnl_tpu.utils import Logger, save_args, snapshot_sources
 
     log = Logger(flags.log_dir)
     save_args(flags, flags.log_dir)
+    snapshot_sources(flags.log_dir, flags.model, extra_modules=(__file__,))
     rs = np.random.RandomState(flags.seed)
     feature_channel = 3 if flags.with_rgb else 0
     num_classes = 21
@@ -187,6 +195,7 @@ def main(argv=None):
         state = restore_checkpoint(state, flags.log_dir, "latest")
         log(f"resumed from step {int(state.step)}")
 
+    state, place = setup_dp(flags, state, log)
     train_step = make_train_step(bn_schedule=bn_sched, task="seg", uniform_weight=0.01)
     predict = make_predict_step()
     dropout_rng = jax.random.PRNGKey(flags.seed + 1)
@@ -219,25 +228,42 @@ def main(argv=None):
     )
     best_vote_iou = 0.0
     val_smooth = 0.95
+    from pointasnl_tpu.train.profiling import start_trace, stop_trace
+
     for epoch in range(flags.from_epoch, flags.max_epoch):
         log(f"**** EPOCH {epoch:03d} ****")
         t0 = time.time()
         loss_sum = 0.0
         nsteps = 0
-        for batch in Prefetcher(dataset.batches("training", cfg), capacity=8):
-            state, metrics = train_step(
-                state,
-                {
-                    "points": jnp.asarray(model_input(batch)),
-                    "labels": jnp.asarray(batch["labels"]),
-                    "smpw": jnp.asarray(batch["label_weights"]),
-                },
-                dropout_rng,
-            )
-            # on-device accumulation: a host fetch per step costs ~35 ms
-            # through the tunneled runtime (BENCH_OPS.md)
-            loss_sum = loss_sum + metrics["loss"]
-            nsteps += 1
+        tracing = False
+        try:
+            for batch in Prefetcher(dataset.batches("training", cfg), capacity=8):
+                if flags.profile and epoch == flags.from_epoch and nsteps == 0:
+                    start_trace(os.path.join(flags.log_dir, "profile"))
+                    tracing = True
+                state, metrics = train_step(
+                    state,
+                    {
+                        "points": place(model_input(batch)),
+                        "labels": place(batch["labels"]),
+                        "smpw": place(batch["label_weights"]),
+                    },
+                    dropout_rng,
+                )
+                # on-device accumulation: a host fetch per step costs ~35 ms
+                # through the tunneled runtime (BENCH_OPS.md)
+                loss_sum = loss_sum + metrics["loss"]
+                nsteps += 1
+                if tracing and nsteps >= 3:
+                    jax.block_until_ready(state.params)
+                    stop_trace()
+                    tracing = False
+                    log(f"profile trace written to {flags.log_dir}/profile")
+        finally:
+            if tracing:
+                jax.block_until_ready(state.params)
+                stop_trace()
+                log(f"profile trace written to {flags.log_dir}/profile")
         log(
             f"train loss {loss_sum / max(nsteps, 1):.4f} "
             f"({time.time() - t0:.1f}s, lr {float(lr_sched(state.step)):.6f})"
@@ -247,7 +273,7 @@ def main(argv=None):
         if has_validation:
             predictions, targets = [], []
             for batch in dataset.batches("validation", cfg, augment=False):
-                logits = np.asarray(predict(state, jnp.asarray(model_input(batch))))
+                logits = np.asarray(predict(state, place(model_input(batch))))
                 probs = np.asarray(
                     jax.nn.softmax(jnp.asarray(logits[:, :, 1:]), axis=-1)
                 )

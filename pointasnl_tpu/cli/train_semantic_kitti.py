@@ -14,7 +14,14 @@ import time
 
 import numpy as np
 
-from pointasnl_tpu.cli.seg_common import SegEvalAccumulator, add_nl_args, nl_kwargs, pad_seg_batch
+from pointasnl_tpu.cli.seg_common import (
+    SegEvalAccumulator,
+    add_dp_arg,
+    add_nl_args,
+    nl_kwargs,
+    pad_seg_batch,
+    setup_dp,
+)
 
 KITTI_LABEL_TO_CAT = {
     0: "unlabeled", 1: "car", 2: "bicycle", 3: "motorcycle", 4: "truck",
@@ -40,6 +47,7 @@ def parse_args(argv=None):
     p.add_argument("--decay_step", type=int, default=200000)
     p.add_argument("--decay_rate", type=float, default=0.7)
     add_nl_args(p)
+    add_dp_arg(p)
     p.add_argument(
         "--max_to_keep", type=int, default=100,
         help="retained epoch-numbered checkpoints (<=0 keeps all)",
@@ -75,10 +83,11 @@ def main(argv=None):
         restore_checkpoint,
     )
     from pointasnl_tpu.train.state import make_optimizer
-    from pointasnl_tpu.utils import Logger, save_args
+    from pointasnl_tpu.utils import Logger, save_args, snapshot_sources
 
     log = Logger(flags.log_dir)
     save_args(flags, flags.log_dir)
+    snapshot_sources(flags.log_dir, flags.model, extra_modules=(__file__,))
     rs = np.random.RandomState(flags.seed)
     feature_channel = 1 if flags.with_remission else 0
 
@@ -118,6 +127,7 @@ def main(argv=None):
         state = restore_checkpoint(state, flags.log_dir, "latest")
         log(f"resumed from step {int(state.step)}")
 
+    state, place = setup_dp(flags, state, log)
     train_step = make_train_step(bn_schedule=bn_sched, task="seg", uniform_weight=0.01)
     eval_step = make_eval_step(task="seg")
     dropout_rng = jax.random.PRNGKey(flags.seed + 1)
@@ -164,9 +174,9 @@ def main(argv=None):
             state, metrics = train_step(
                 state,
                 {
-                    "points": jnp.asarray(bd, jnp.float32),
-                    "labels": jnp.asarray(bl),
-                    "smpw": jnp.asarray(bw),
+                    "points": place(bd, jnp.float32),
+                    "labels": place(bl),
+                    "smpw": place(bw),
                 },
                 dropout_rng,
             )
@@ -190,7 +200,7 @@ def main(argv=None):
             bd[:, :, :3] = provider.rotate_point_cloud_z(bd[:, :, :3], random_state=rs)
             bd, bl, bw, bsize = pad_seg_batch(bd, bl, bw, flags.batch_size)
             logits, _ = eval_step(
-                state, {"points": jnp.asarray(bd), "labels": jnp.asarray(bl)}
+                state, {"points": place(bd), "labels": place(bl)}
             )
             preds = np.asarray(jnp.argmax(logits, -1))[:bsize]
             acc.update(preds, bl[:bsize], bw[:bsize])

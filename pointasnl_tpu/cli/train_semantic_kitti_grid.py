@@ -16,7 +16,7 @@ import time
 import numpy as np
 
 from pointasnl_tpu.cli.train_semantic_kitti import KITTI_LABEL_TO_CAT
-from pointasnl_tpu.cli.seg_common import add_nl_args, nl_kwargs
+from pointasnl_tpu.cli.seg_common import add_dp_arg, add_nl_args, nl_kwargs, setup_dp
 
 
 def parse_args(argv=None):
@@ -37,6 +37,7 @@ def parse_args(argv=None):
     p.add_argument("--decay_step", type=int, default=200000)
     p.add_argument("--decay_rate", type=float, default=0.7)
     add_nl_args(p)
+    add_dp_arg(p)
     p.add_argument(
         "--max_to_keep", type=int, default=100,
         help="retained epoch-numbered checkpoints (<=0 keeps all)",
@@ -100,10 +101,11 @@ def main(argv=None):
     )
     from pointasnl_tpu.train.state import make_optimizer
     from pointasnl_tpu.train.steps import make_predict_step
-    from pointasnl_tpu.utils import Logger, save_args
+    from pointasnl_tpu.utils import Logger, save_args, snapshot_sources
 
     log = Logger(flags.log_dir)
     save_args(flags, flags.log_dir)
+    snapshot_sources(flags.log_dir, flags.model, extra_modules=(__file__,))
     rs = np.random.RandomState(flags.seed)
     num_classes = 20
 
@@ -137,6 +139,7 @@ def main(argv=None):
         state = restore_checkpoint(state, flags.log_dir, "latest")
         log(f"resumed from step {int(state.step)}")
 
+    state, place = setup_dp(flags, state, log)
     train_step = make_train_step(bn_schedule=bn_sched, task="seg", uniform_weight=0.01)
     predict = make_predict_step()
     dropout_rng = jax.random.PRNGKey(flags.seed + 1)
@@ -158,9 +161,9 @@ def main(argv=None):
             state, metrics = train_step(
                 state,
                 {
-                    "points": jnp.asarray(batch["points"]),
-                    "labels": jnp.asarray(batch["labels"]),
-                    "smpw": jnp.asarray(batch["label_weights"]),
+                    "points": place(batch["points"]),
+                    "labels": place(batch["labels"]),
+                    "smpw": place(batch["label_weights"]),
                 },
                 dropout_rng,
             )
@@ -179,7 +182,7 @@ def main(argv=None):
         predictions, targets = [], []
         esteps = 0
         for batch in dataset.batches("validation", cfg, augment=False):
-            logits = np.asarray(predict(state, jnp.asarray(batch["points"])))
+            logits = np.asarray(predict(state, place(batch["points"])))
             probs = np.asarray(jax.nn.softmax(jnp.asarray(logits[:, :, 1:]), axis=-1))
             for b in range(probs.shape[0]):
                 predictions.append(probs[b])

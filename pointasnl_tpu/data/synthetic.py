@@ -63,3 +63,45 @@ def surface_scene(
         rng.shuffle(cloud)
         out[b] = cloud.astype(np.float32)
     return out
+
+
+def labeled_surface_scene(
+    rng: np.random.RandomState,
+    n: int,
+    extent: float = 3.0,
+    noise: float = 0.008,
+):
+    """One surface scene with GEOMETRY-DETERMINED semantic labels.
+
+    Returns (points (n,3) f32, labels (n,) i32) with ScanNet-convention ids:
+    floor=2, wall=1, furniture boxes=3 ('chair'). Labels are a deterministic
+    function of which surface a point lies on, so a segmentation model can
+    actually learn them — the basis of the seg-pipeline recipe e2e
+    (tests/test_recipe_seg_e2e.py), which needs synthetic data where mIoU
+    well above chance is achievable, unlike random labels.
+    """
+    planes = [
+        (2, np.array([0, 0, 0.0]), np.array([extent, 0, 0.0]), np.array([0, extent, 0.0])),
+        (1, np.array([0, 0, 0.0]), np.array([extent, 0, 0.0]), np.array([0, 0, extent * 0.6])),
+        (1, np.array([0, 0, 0.0]), np.array([0, extent, 0.0]), np.array([0, 0, extent * 0.6])),
+    ]
+    for _ in range(rng.randint(3, 6)):  # furniture boxes
+        c = np.array([rng.rand() * extent * 0.7, rng.rand() * extent * 0.7, 0.0])
+        size = 0.25 + rng.rand(3) * 0.45
+        planes.append((3, c, np.array([size[0], 0, 0]), np.array([0, size[1], 0])))
+        planes.append((3, c + np.array([0, 0, size[2]]),
+                       np.array([size[0], 0, 0]), np.array([0, size[1], 0])))
+        planes.append((3, c, np.array([size[0], 0, 0]), np.array([0, 0, size[2]])))
+        planes.append((3, c, np.array([0, size[1], 0]), np.array([0, 0, size[2]])))
+    areas = np.array([np.linalg.norm(np.cross(u, v)) for _, _, u, v in planes])
+    edges = np.round(np.cumsum(areas) / areas.sum() * n).astype(int)
+    counts = np.diff(edges, prepend=0)
+    pts, labs = [], []
+    for (lab, o, u, v), c in zip(planes, counts):
+        uv = rng.rand(c, 2)
+        pts.append(o + uv[:, :1] * u + uv[:, 1:] * v)
+        labs.append(np.full(c, lab, np.int32))
+    cloud = np.concatenate(pts)[:n] + rng.randn(n, 3) * noise
+    labels = np.concatenate(labs)[:n]
+    order = rng.permutation(n)
+    return cloud[order].astype(np.float32), labels[order]

@@ -106,6 +106,46 @@ def blockwise_attention(
     return o / l
 
 
+def ring_attention_local(
+    q_loc: jax.Array,
+    k_loc: jax.Array,
+    v_loc: jax.Array,
+    *,
+    axis: str,
+    axis_size: int,
+    scaled: bool = True,
+) -> jax.Array:
+    """The shard_map-INTERNAL body of ring attention.
+
+    Call from inside an existing shard_map over `axis`: each device attends
+    its local queries over its local K/V shard, then passes the shard to the
+    next device on the ring (lax.ppermute); the partial online-softmax stats
+    combine exactly. `q_loc` may itself be a query shard (out stays sharded
+    on M) or the full query set (out replicated) — the math is per-query.
+    Used directly by parallel/whole_scene.py's point-sharded layer1_1.
+    """
+    C = q_loc.shape[-1]
+    scale = (1.0 / jnp.sqrt(jnp.float32(C))) if scaled else jnp.float32(1.0)
+    B, M, _ = q_loc.shape
+    D = v_loc.shape[-1]
+    init = (
+        jnp.full((B, M, 1), -jnp.inf, q_loc.dtype),
+        jnp.zeros((B, M, 1), q_loc.dtype),
+        jnp.zeros((B, M, D), q_loc.dtype),
+    )
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    def body(i, state):
+        carry, k_cur, v_cur = state
+        carry = _online_softmax_step(carry, scale, q_loc, k_cur, v_cur)
+        k_nxt = lax.ppermute(k_cur, axis, perm)
+        v_nxt = lax.ppermute(v_cur, axis, perm)
+        return carry, k_nxt, v_nxt
+
+    (m, l, o), _, _ = lax.fori_loop(0, axis_size, body, (init, k_loc, v_loc))
+    return o / l
+
+
 def ring_attention(
     q: jax.Array,
     k: jax.Array,
@@ -122,33 +162,14 @@ def ring_attention(
     `axis_size` steps attends to the local K/V shard and passes it to the next
     device on the ring; partial online-softmax stats combine exactly.
     """
-    shard_map = jax.shard_map
-
-    C = q.shape[-1]
-    scale = (1.0 / jnp.sqrt(jnp.float32(C))) if scaled else jnp.float32(1.0)
     axis_size = mesh.shape[axis]
 
     def local_fn(q_loc, k_loc, v_loc):
-        B, M, _ = q_loc.shape
-        D = v_loc.shape[-1]
-        init = (
-            jnp.full((B, M, 1), -jnp.inf, q_loc.dtype),
-            jnp.zeros((B, M, 1), q_loc.dtype),
-            jnp.zeros((B, M, D), q_loc.dtype),
+        return ring_attention_local(
+            q_loc, k_loc, v_loc, axis=axis, axis_size=axis_size, scaled=scaled
         )
-        perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
-        def body(i, state):
-            carry, k_cur, v_cur = state
-            carry = _online_softmax_step(carry, scale, q_loc, k_cur, v_cur)
-            k_nxt = lax.ppermute(k_cur, axis, perm)
-            v_nxt = lax.ppermute(v_cur, axis, perm)
-            return carry, k_nxt, v_nxt
-
-        (m, l, o), _, _ = lax.fori_loop(0, axis_size, body, (init, k_loc, v_loc))
-        return o / l
-
-    return shard_map(
+    return jax.shard_map(
         local_fn,
         mesh=mesh,
         in_specs=(P(), P(None, axis, None), P(None, axis, None)),

@@ -45,9 +45,40 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+# Measured compile/execute envelope of the BACKWARD kernel (the binding
+# pass: K, V, dK, dV all VMEM-resident), probed on TPU v5e hardware with
+# scripts/probe_flash_vmem.py (2026-08-17):
+#   c=d=64 : N=57344 executes, N=61440 fails compile
+#   c=d=32 : N=65536 fails compile (lane padding: a (N, 32) block occupies
+#            the same 128-lane tiles as (N, 128))
+#   c=d=128: N=14336 executes, N=16384 fails compile — the >=128-lane class
+#   fails FAR below the bytes ceiling the small-c classes reach, so no
+#   single analytic bytes model explains all three; the guard below is the
+#   measured safe envelope with margin, not a derivation. Re-run the probe
+#   whenever the kernel's buffers change.
+_PHYS_BYTES_CAP = 100 * 1024 * 1024  # v5e VMEM is 128 MiB; keep ~22% headroom
+_NPAD_CAP_WIDE = 12288  # measured c=128 boundary (pass 14336) minus margin
+
+
+def _bwd_working_set_bytes(n: int, c: int, d: int) -> int:
+    """Physical VMEM bytes of the resident K/V + dK/dV blocks (f32, minor
+    dim lane-padded to 128). Tile-local buffers add ~2-4 MiB on top; the
+    measured caps in fits_vmem absorb them."""
+    npad = _round_up(max(n, 1), CHUNK_N)
+    lanes_c = max(c, LANE)
+    lanes_d = max(d, LANE)
+    return 2 * npad * (lanes_c + lanes_d) * 4  # {K,dK} + {V,dV}
+
+
 def fits_vmem(n: int, c: int, d: int) -> bool:
-    """Whether resident K/V (+grad accumulators) fit the VMEM budget."""
-    return n * (c + d) * 4 * 2 <= 8 * 1024 * 1024
+    """Whether the flash kernels (fwd + bwd) compile and run with resident
+    K/V at this shape. Measured hardware envelope (see module constants):
+    bytes cap for the small-c lane classes, plus a separate npad cap for
+    c or d >= 128 where Mosaic fails far earlier."""
+    npad = _round_up(max(n, 1), CHUNK_N)
+    if max(c, d) > 64 and npad > _NPAD_CAP_WIDE:
+        return False
+    return _bwd_working_set_bytes(n, c, d) <= _PHYS_BYTES_CAP
 
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, stats_ref,
@@ -224,11 +255,28 @@ def _flash_backward(q, k, v, o_pad, stats, do, scale: float):
     return dq[:, :M, :], dk[:, :N, :], dv[:, :N, :]
 
 
+def _check_fits(k, v):
+    """Actionable error instead of a compile-time scoped-VMEM crash when K/V
+    exceed the resident budget (callers: route to blockwise_attention)."""
+    n, c = k.shape[1], k.shape[-1]
+    d = v.shape[-1]
+    if not fits_vmem(n, c, d):
+        raise ValueError(
+            f"flash_attention: K/V of N={n}, C={c}, D={d} exceed the "
+            f"measured VMEM-resident envelope "
+            f"({_bwd_working_set_bytes(n, c, d)} B vs cap {_PHYS_BYTES_CAP} B"
+            f", npad cap {_NPAD_CAP_WIDE} for c/d > 64); use "
+            "nn.blockwise.blockwise_attention (numerically identical, "
+            "streams K/V from HBM) for this shape."
+        )
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
 def flash_attention(q, k, v, scaled: bool = True):
     """Fused softmax(q k^T [/ sqrt(C)]) v. q (B,M,C), k (B,N,C), v (B,N,D)."""
     import math
 
+    _check_fits(k, v)
     scale = 1.0 / math.sqrt(q.shape[-1]) if scaled else 1.0
     out, _ = _flash_forward_with_stats(q, k, v, scale)
     return out[:, : q.shape[1], :]
@@ -237,6 +285,7 @@ def flash_attention(q, k, v, scaled: bool = True):
 def _fwd(q, k, v, scaled):
     import math
 
+    _check_fits(k, v)
     scale = 1.0 / math.sqrt(q.shape[-1]) if scaled else 1.0
     out, stats = _flash_forward_with_stats(q, k, v, scale)
     return out[:, : q.shape[1], :], (q, k, v, out, stats)

@@ -310,7 +310,7 @@ def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query):
         pl.BlockSpec((1, n_seg, 8, SEG_W), lambda b, t: (b, 0, 0, 0),
                      memory_space=pltpu.VMEM)
         if resident
-        else pl.BlockSpec(memory_space=pltpu.ANY)
+        else pl.BlockSpec(memory_space=pl.ANY)
     )
     dist, idx = pl.pallas_call(
         functools.partial(_knn_spatial_kernel, k=k, n_seg=n_seg,

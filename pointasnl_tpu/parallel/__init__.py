@@ -10,6 +10,7 @@ from pointasnl_tpu.parallel.mesh import (
     batch_sharding,
     make_mesh,
     replicate,
+    setup_data_parallel,
     shard_batch,
 )
 from pointasnl_tpu.parallel.sharded_knn import (
@@ -27,5 +28,6 @@ __all__ = [
     "make_mesh",
     "predict_scene_sharded",
     "replicate",
+    "setup_data_parallel",
     "shard_batch",
 ]

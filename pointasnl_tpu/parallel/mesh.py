@@ -57,3 +57,37 @@ def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (params / train state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def setup_data_parallel(state, batch_size: int, log=print):
+    """Turn-key DP for a trainer: replicate the train state over all local
+    devices and return (state, place_batch).
+
+    `place_batch` shards a host array along its leading (batch) dim over the
+    'data' axis; feeding every step's arrays through it makes the jitted
+    train/eval steps run SPMD — XLA inserts psum for the gradient reduction
+    and the BatchNorm batch moments (sync-BN) over ICI. The reference has no
+    DP at all (SURVEY.md §2.9); this is the TPU-native design shared by all
+    five trainers.
+    """
+    import jax.numpy as jnp
+
+    devices = jax.devices()
+    if len(devices) <= 1:
+        log("data-parallel requested but only one device is visible; running single-device")
+        return state, jnp.asarray
+
+    mesh = make_mesh()
+    ndev = mesh.devices.size
+    if batch_size % ndev != 0:
+        raise ValueError(
+            f"batch_size {batch_size} not divisible by {ndev} devices"
+        )
+    state = replicate(state, mesh)
+    log(f"data-parallel over {ndev} devices")
+
+    def place_batch(x, dtype=None):
+        x = np.asarray(x, dtype=dtype)
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    return state, place_batch

@@ -57,7 +57,17 @@ _LEAF_MAP = {
 }
 
 # Optimizer/bookkeeping variables in reference checkpoints, not model state.
-_SKIP_SUBSTRINGS = ("/Adam", "beta1_power", "beta2_power", "global_step", "batch")
+_SKIP_SUBSTRINGS = ("/Adam", "beta1_power", "beta2_power", "global_step")
+# The reference's global step is a variable named exactly 'batch'
+# (train.py:121); match the final path component only, so genuinely
+# unmapped variables whose name merely CONTAINS 'batch' still surface.
+_SKIP_EXACT_LEAVES = ("batch",)
+
+
+def _is_bookkeeping_var(name: str) -> bool:
+    return any(s in name for s in _SKIP_SUBSTRINGS) or (
+        name.split("/")[-1] in _SKIP_EXACT_LEAVES
+    )
 
 
 def flax_path_to_tf_name(path: Tuple[str, ...]) -> str:
@@ -140,10 +150,20 @@ def convert_tf_vars(tf_vars: Dict[str, np.ndarray], variables) -> dict:
             "reference checkpoint is missing variables for:\n  "
             + "\n  ".join(missing)
         )
-    unused = [
-        n for n in tf_vars
-        if n not in used and not any(s in n for s in _SKIP_SUBSTRINGS)
-    ]
+    unused = []
+    for n in tf_vars:
+        if n in used or _is_bookkeeping_var(n):
+            continue
+        if n.endswith("/biases"):
+            scope = n[: -len("/biases")]
+            if f"{scope}/weights" in used and f"{scope}/bn/gamma" in tf_vars:
+                # The reference keeps a conv bias even under BN
+                # (tf_util.py:104-106); BN's mean subtraction cancels it, and
+                # our PointConv deliberately drops it (nn/layers.py:91-96).
+                # A real reference checkpoint therefore carries these with no
+                # destination — accept and ignore.
+                continue
+        unused.append(n)
     if unused:
         raise ValueError(
             "checkpoint variables with no destination (wrong --model?):\n  "

@@ -150,3 +150,18 @@ def test_native_knn_duplicate_ties_and_k_gt_n():
     np.testing.assert_array_equal(idx[:, :3], want3)
     np.testing.assert_array_equal(idx[:, 3:], np.repeat(want3[:, -1:], 4, axis=1))
     assert (idx < 3).all() and (idx >= 0).all()
+
+
+def test_snapshot_sources(tmp_path):
+    """Log-dir code backup (parity with /root/reference/train.py:67-70)."""
+    import os
+
+    from pointasnl_tpu.utils import snapshot_sources
+
+    dst = snapshot_sources(str(tmp_path), "pointasnl_sem_seg_res",
+                           extra_modules=(__file__,))
+    names = set(os.listdir(dst))
+    assert "sem_seg_res.py" in names
+    assert "pointasnl.py" in names
+    assert "layers.py" in names
+    assert os.path.basename(__file__) in names

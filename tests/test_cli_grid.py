@@ -86,10 +86,20 @@ def test_train_and_test_scannet_grid_cli(synthetic_scannet_grid, tmp_path):
             "--num_point", "512",
             "--num_buffer", "64",
             "--debug",
+            "--profile",
         ]
     )
     assert best >= 0.0
     assert os.path.exists(os.path.join(log_dir, "args.txt"))
+    # --profile wrote a trace artifact (VERDICT r2 item 9)
+    assert os.path.isdir(os.path.join(log_dir, "profile"))
+    assert any(
+        f for _, _, fs in os.walk(os.path.join(log_dir, "profile")) for f in fs
+    )
+    # log-dir source snapshot (VERDICT r2 item 10)
+    assert os.path.isfile(
+        os.path.join(log_dir, "src_snapshot", "sem_seg_res.py")
+    )
 
     miou = test_scannet_grid.main(
         [
@@ -100,9 +110,13 @@ def test_train_and_test_scannet_grid_cli(synthetic_scannet_grid, tmp_path):
             "--num_votes", "0.001",
             "--max_rounds", "1",
             "--batch_size", "2",
+            "--profile",
         ]
     )
     assert miou is not None and miou >= 0.0
+    import glob
+
+    assert glob.glob(str(tmp_path / "dump" / "*" / "profile"))
 
 
 def test_scannet_grid_test_split_submission(synthetic_scannet_grid, tmp_path):

