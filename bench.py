@@ -141,8 +141,14 @@ def main():
     entries = [
         bench_one("modelnet40_cls", "cls", 16, 1024, "float32"),
         bench_one("modelnet40_cls", "cls", 16, 1024, "bfloat16"),
+        # Batch-scaled entries (r3): the recipe batch sizes under-feed the
+        # chip — FPS/kNN serialization amortizes across a bigger batch, so
+        # these state what the hardware can actually sustain per chip.
+        bench_one("modelnet40_cls_b64", "cls", 64, 1024, "bfloat16"),
         bench_one("scannet_seg_res", "seg", 4, 10240, "float32"),
         bench_one("scannet_seg_res", "seg", 4, 10240, "bfloat16"),
+        bench_one("scannet_seg_res_b16", "seg", 16, 10240, "float32"),
+        bench_one("scannet_seg_res_b16", "seg", 16, 10240, "bfloat16"),
     ]
     primary = entries[0]
 

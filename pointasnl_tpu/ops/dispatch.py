@@ -66,15 +66,45 @@ def _use_pallas() -> bool:
 
 # Ops with no Pallas specialization — re-exported directly.
 pairwise_sqdist = _g.pairwise_sqdist
-gather_point = _g.gather_point
-group_point = _g.group_point
-three_interpolate = _g.three_interpolate
 prob_sample = _g.prob_sample
+
+
+def gather_point(points, idx):
+    # On TPU the scatter-add VJP of a gather is ~30-80x slower than the
+    # one-hot MXU matmul form (ops/scatter.py — measured numbers there);
+    # forward values are identical either way.
+    if _use_pallas():
+        from pointasnl_tpu.ops.scatter import gather_point_mxu
+
+        return gather_point_mxu(points, idx)
+    return _g.gather_point(points, idx)
+
+
+gather_point.__doc__ = _g.gather_point.__doc__
+
+
+def group_point(points, idx):
+    if _use_pallas():
+        from pointasnl_tpu.ops.scatter import group_point_mxu
+
+        return group_point_mxu(points, idx)
+    return _g.group_point(points, idx)
+
+
+group_point.__doc__ = _g.group_point.__doc__
+
+
+def three_interpolate(points, idx, weight):
+    return _g.three_interpolate(points, idx, weight, group_point_fn=group_point)
+
+
+three_interpolate.__doc__ = _g.three_interpolate.__doc__
 
 
 def repulsion_loss(pred, nsample: int = 20, radius: float = 0.07, h: float = 0.03):
     return _g.repulsion_loss(
-        pred, nsample=nsample, radius=radius, h=h, ball_query_fn=query_ball_point
+        pred, nsample=nsample, radius=radius, h=h,
+        ball_query_fn=query_ball_point, group_point_fn=group_point,
     )
 
 
@@ -99,7 +129,8 @@ def knn_point(k, support, query):
     # XLA's top_k/sort lowering dominates whole train steps on this hardware
     # (sustained fetch-forced timing, BENCH_OPS.md: seg step 996 ms with the
     # top_k path vs ~75 ms with the kernels), so "auto" on TPU uses the
-    # Pallas kernels (sort-free min-extraction; resident scan to N=16384,
+    # Pallas kernels (sort-free min-extraction; resident scan to
+    # knn.RESIDENT_MAX_N (12288),
     # Morton/sphere-pruned spatial kernel to N=524288, streaming beyond).
     if _use_pallas():
         try:
@@ -147,7 +178,9 @@ three_nn.__doc__ = _g.three_nn.__doc__
 
 def three_interpolate_idw(xyz1, xyz2, points2):
     # one weight-numerics body (geometry), search injected per backend
-    return _g.three_interpolate_idw(xyz1, xyz2, points2, three_nn_fn=three_nn)
+    return _g.three_interpolate_idw(
+        xyz1, xyz2, points2, three_nn_fn=three_nn, group_point_fn=group_point
+    )
 
 
 three_interpolate_idw.__doc__ = _g.three_interpolate_idw.__doc__
@@ -171,4 +204,7 @@ def grouping(feature, k, src_xyz, q_xyz, *, use_xyz=True, use_knn=True,
             _, idx = knn_point(k, src_xyz, q_xyz)
         else:
             idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
-    return _g.grouping(feature, k, src_xyz, q_xyz, use_xyz=use_xyz, idx=idx)
+    return _g.grouping(
+        feature, k, src_xyz, q_xyz, use_xyz=use_xyz, idx=idx,
+        group_point_fn=group_point,
+    )

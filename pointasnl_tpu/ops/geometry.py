@@ -310,11 +310,14 @@ def three_nn(xyz1: Array, xyz2: Array) -> Tuple[Array, Array]:
     return lax.stop_gradient(d2), idx
 
 
-def three_interpolate(points: Array, idx: Array, weight: Array) -> Array:
+def three_interpolate(points: Array, idx: Array, weight: Array,
+                      group_point_fn=None) -> Array:
     """Weighted interpolation from 3 neighbors.
 
     Matches tf_ops/3d_interpolation/tf_interpolate.cpp:107-130; gradient
     (scatter of weighted cotangents, :191-262) comes from autodiff.
+    `group_point_fn` lets ops.dispatch substitute the MXU-gradient gather
+    (ops/scatter.py) on TPU.
 
     Args:
       points: (B, M2, C) source features.
@@ -324,12 +327,13 @@ def three_interpolate(points: Array, idx: Array, weight: Array) -> Array:
     Returns:
       (B, M1, C) interpolated features.
     """
-    gathered = group_point(points, idx)  # (B, M1, 3, C)
+    gp = group_point_fn or group_point
+    gathered = gp(points, idx)  # (B, M1, 3, C)
     return jnp.sum(gathered * weight[..., None], axis=2)
 
 
 def three_interpolate_idw(xyz1: Array, xyz2: Array, points2: Array,
-                          three_nn_fn=None) -> Array:
+                          three_nn_fn=None, group_point_fn=None) -> Array:
     """three_nn + inverse-distance-weighted three_interpolate, fused.
 
     Mirrors the composite used at utils/pointnet_util.py:211-216 and
@@ -342,7 +346,7 @@ def three_interpolate_idw(xyz1: Array, xyz2: Array, points2: Array,
     dist2 = jnp.maximum(dist2, 1e-10)
     inv = 1.0 / dist2
     weight = inv / jnp.sum(inv, axis=2, keepdims=True)
-    return three_interpolate(points2, idx, weight)
+    return three_interpolate(points2, idx, weight, group_point_fn=group_point_fn)
 
 
 def prob_sample(inp: Array, inp_r: Array) -> Array:
@@ -378,6 +382,7 @@ def grouping(
     use_knn: bool = True,
     radius: float = 0.2,
     idx: Optional[Array] = None,
+    group_point_fn=None,
 ) -> Tuple[Array, Array, Array]:
     """Neighborhood grouping, the reference's `grouping` (utils/pointasnl_util.py:51-76).
 
@@ -392,20 +397,21 @@ def grouping(
     the query set is a subset of the support set (exact, since each query's
     neighbors are independent of the rest of the query set).
     """
+    gp = group_point_fn or group_point
     if idx is None:
         if use_knn:
             _, idx = knn_point(k, src_xyz, q_xyz)
         else:
             idx, _ = query_ball_point(radius, k, src_xyz, q_xyz)
-    grouped_xyz = group_point(src_xyz, idx)
-    grouped_feature = group_point(feature, idx)
+    grouped_xyz = gp(src_xyz, idx)
+    grouped_feature = gp(feature, idx)
     if use_xyz:
         grouped_feature = jnp.concatenate([grouped_xyz, grouped_feature], axis=-1)
     return grouped_xyz, grouped_feature, idx
 
 
 def repulsion_loss(pred: Array, nsample: int = 20, radius: float = 0.07, h: float = 0.03,
-                   ball_query_fn=None) -> Array:
+                   ball_query_fn=None, group_point_fn=None) -> Array:
     """Uniformity (repulsion) penalty on sampled point positions.
 
     Matches utils/pointasnl_util.py:361-378: ball-query `nsample` neighbors in
@@ -413,11 +419,13 @@ def repulsion_loss(pred: Array, nsample: int = 20, radius: float = 0.07, h: floa
     mean(radius - dist * exp(-dist^2 / h^2)).
 
     `ball_query_fn` lets ops.dispatch substitute the Pallas ball query (the
-    remaining top_k over nsample=20 lanes is tiny and stays in XLA).
+    remaining top_k over nsample=20 lanes is tiny and stays in XLA);
+    `group_point_fn` the MXU-gradient gather (ops/scatter.py).
     """
     ball = ball_query_fn or query_ball_point
+    gp = group_point_fn or group_point
     idx, _ = ball(radius, nsample, pred, pred)
-    grouped = group_point(pred, idx) - pred[:, :, None, :]
+    grouped = gp(pred, idx) - pred[:, :, None, :]
     dist2 = jnp.sum(jnp.square(grouped), axis=-1)  # (B, M, nsample)
     neg_top, _ = lax.top_k(-dist2, 5)
     dist2 = -neg_top[..., 1:]  # drop self (nearest)
