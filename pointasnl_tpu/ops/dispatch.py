@@ -130,8 +130,8 @@ def knn_point(k, support, query):
     # (sustained fetch-forced timing, BENCH_OPS.md: seg step 996 ms with the
     # top_k path vs ~75 ms with the kernels), so "auto" on TPU uses the
     # Pallas kernels (sort-free min-extraction; resident scan to
-    # knn.RESIDENT_MAX_N (12288),
-    # Morton/sphere-pruned spatial kernel to N=524288, streaming beyond).
+    # knn.RESIDENT_MAX_N (12288), Morton/sphere-pruned spatial kernel to
+    # N=2097152 (two-level visit ordering past 524288), streaming beyond).
     if _use_pallas():
         try:
             from pointasnl_tpu.ops.pallas import knn as _pknn

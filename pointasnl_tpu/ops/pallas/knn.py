@@ -168,7 +168,8 @@ def knn_point(k: int, support: jax.Array, query: jax.Array):
         parity crop scales — measured vs the spatial kernel, BENCH_OPS.md);
       - larger N: the Morton/bounding-sphere pruned kernel (knn_spatial.py),
         measured 5.4x the streaming scan at N=131072; VMEM-resident pack to
-        N=262144, HBM pack with per-visit DMA to N=524288;
+        N=262144, HBM pack with per-visit DMA — and a two-level
+        supersegment/supertile visit ordering past 524288 — to N=2097152;
       - beyond that: the streaming chunk kernel.
 
     Gradients are cut (the reference's kNN runs under tf.py_func and carries

@@ -16,6 +16,13 @@ geometry instead of approximating it:
      (a tiny (T, S) argsort), and the kernel's while-loop STOPS as soon as
      the next segment's lb exceeds the tile's current worst kth distance —
      every remaining segment provably cannot contribute a neighbor.
+     Past SORT_MAX_SEGS segments the ordering goes TWO-LEVEL: supersegments
+     of g segments (the smallest power of two keeping S/g <= SORT_MAX_SEGS)
+     are ordered per supertile of SUP_GT query tiles, and
+     a visited supersegment walks its members in position order — group
+     spheres contain member spheres, so group bounds are still valid lower
+     bounds and pruning stays exact; this keeps the sorted matrix at
+     (T/SUP_GT, S/SUP_G) and extends the single-chip cap to N=2097152.
   4. Visited segments compute a (TILE_M, SEG_W) distance block (direct VPU
      squared differences — see the in-kernel note on why not the MXU
      expansion) and fold it into the running top-k ONLY if the block
@@ -59,9 +66,17 @@ KP = 128  # running top-k lanes (k <= KP)
 # pruning makes the DMA traffic sparse, the TPU analog of a KD-tree's
 # "touch only nearby leaves".
 MAX_SPATIAL_N = 1 << 18
-# Cap for the HBM-pack mode: the (T, S) per-tile visit-order argsort grows
-# as N^2/(TILE_M*SEG_W), which stays cheap to here.
-MAX_SPATIAL_HBM_N = 1 << 19
+# Cap for the HBM-pack mode. The (T, S) per-tile visit-order argsort grows
+# as N^2/(TILE_M*SEG_W); past SORT_MAX_SEGS segments the kernel switches to
+# a TWO-LEVEL ordering (supersegments of SUP_G segments, visit orders shared
+# across SUP_GT adjacent query tiles) that keeps the sorted matrix at
+# (T/SUP_GT, S/SUP_G) — both groupings only WEAKEN the lower bounds used
+# for ordering/early-stop (a containing sphere's bound is still a valid
+# lower bound), so pruning stays exact; the per-segment, per-row bounds
+# inside the kernel are unchanged and do the tight gating.
+MAX_SPATIAL_HBM_N = 1 << 21
+SORT_MAX_SEGS = 1024
+SUP_GT = 4  # query tiles sharing one visit order in two-level mode
 _INF = 3e38
 _BIGID = 3e38
 # Absolute slack on sphere bounds, as a fraction of the scene extent: the
@@ -106,13 +121,23 @@ def _sphere(points):
 
 def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, sph_ref,
                         dist_ref, idx_ref, blk_scratch, dma_sem,
-                        *, k: int, n_seg: int, tile_m: int, resident: bool):
-    # q_ref:    (1, TILE_M, 4) sorted query xyz (4th column zero)
+                        *, k: int, n_sup: int, g: int, tile_m: int,
+                        resident: bool):
+    # q_ref:    (1, TILE_M, 128) sorted query xyz in lanes 0-2, rest zero
     # pack_ref: (1, S, 8, SEG_W) VMEM when resident, else the full
     #           (B, S, 8, SEG_W) array left in HBM (ANY) and DMA'd per visit
-    # order_ref:(1, 1, S + 1) int32 SMEM — segment visit order, nearest first
-    # lbs_ref:  (1, 1, S + 1) f32 SMEM — matching lower bounds; +inf sentinel
-    # sph_ref:  (1, S, 4) f32 SMEM — segment bounding spheres (cx, cy, cz, r)
+    # order_ref:(1, 1, n_sup + 1) int32 SMEM — SUPERsegment visit order,
+    #           nearest first (a supersegment = g consecutive segments;
+    #           g == 1 is the single-level mode)
+    # lbs_ref:  (1, 1, n_sup + 1) f32 SMEM — matching lower bounds; +inf
+    #           sentinel
+    # sph_ref:  (1, S, 128) f32 VMEM — segment bounding spheres in lanes
+    #           0-3 (cx, cy, cz, r), rest zero. VMEM (not SMEM) because the
+    #           table is S-sized: past ~1024 segments a (S, 4) SMEM table
+    #           exceeds the per-core scalar-memory budget (measured: the
+    #           remote compile crashes at 32 KB where 16 KB passes), while
+    #           the 128-lane VMEM rows cost the same one-VPU-block per
+    #           gate evaluation as the scalar form.
     # dist/idx: (1, TILE_M, KP)
     # blk_scratch/dma_sem: (8, SEG_W) VMEM landing pad + semaphore (HBM mode)
     q = q_ref[0]  # (tile_m, 4)
@@ -139,25 +164,23 @@ def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, sph_ref,
 
     def cond(carry):
         s, lb, bound, _, _ = carry
-        return (s < n_seg) & (lb <= bound)
+        return (s < n_sup) & (lb <= bound)
 
-    def step(carry):
-        s, _, bound, run_d, run_i = carry
-        seg = order_ref[0, 0, s]
-
+    def seg_step(seg, bound, run_d, run_i):
         # Per-ROW sphere bound: row r can gain a neighbor from this segment
         # only if max(0, |q_r - c| - r_seg)^2 <= r's own kth distance. This
         # is far tighter than the tile-level bound that ordered the visit
-        # (a ~(tile_m,) computation vs a (tile_m, SEG_W) block visit).
-        cx = sph_ref[0, seg, 0]
-        cy = sph_ref[0, seg, 1]
-        cz = sph_ref[0, seg, 2]
-        rad = sph_ref[0, seg, 3]
-        dq2 = (
-            jnp.square(q[:, 0:1] - cx)
-            + jnp.square(q[:, 1:2] - cy)
-            + jnp.square(q[:, 2:3] - cz)
+        # (one VPU block row vs a (tile_m, SEG_W) block visit). The sphere
+        # row lives in VMEM lanes: centre distance is a masked lane reduce
+        # of (q - sphrow)^2 (q's lanes past 2 and sphrow's past 3 are zero).
+        sphrow = sph_ref[0, seg][None, :]  # (1, 128)
+        lane128 = lax.broadcasted_iota(jnp.int32, sphrow.shape, 1)
+        dq2 = jnp.sum(
+            jnp.where(lane128 < 3, jnp.square(q - sphrow), 0.0),
+            axis=1,
+            keepdims=True,
         )
+        rad = jnp.sum(jnp.where(lane128 == 3, sphrow, 0.0))
         lb_row = jnp.square(jnp.maximum(jnp.sqrt(dq2) - rad, 0.0))
         rowkth = run_d[:, k - 1 : k]
 
@@ -203,6 +226,25 @@ def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, sph_ref,
             jnp.any(lb_row <= rowkth), visit, lambda a: (a[0], a[1], bound),
             (run_d, run_i),
         )
+        return bound, run_d, run_i
+
+    def step(carry):
+        s, _, bound, run_d, run_i = carry
+        sup = order_ref[0, 0, s]
+        if g == 1:
+            bound, run_d, run_i = seg_step(sup, bound, run_d, run_i)
+        else:
+            # Two-level mode: visit the supersegment's g member segments in
+            # position order — the per-segment per-row bounds (above) do the
+            # tight gating; only the visit ORDER and the early-stop bound
+            # are at supersegment resolution.
+            def inner(gi, c):
+                bound, run_d, run_i = c
+                return seg_step(sup * g + gi, bound, run_d, run_i)
+
+            bound, run_d, run_i = lax.fori_loop(
+                0, g, inner, (bound, run_d, run_i)
+            )
         return s + 1, lbs_ref[0, 0, s + 1], bound, run_d, run_i
 
     init = (
@@ -218,13 +260,15 @@ def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, sph_ref,
 
 
 def knn_point(k: int, support: jax.Array, query: jax.Array,
-              *, seg_w: int = None, tile_m: int = None):
+              *, seg_w: int = None, tile_m: int = None,
+              force_g: int = None, force_gt: int = None):
     """Spatially-pruned exact kNN: support (B,N,3), query (B,M,3) -> (B,M,k).
 
     Same contract as ops.geometry.knn_point (ascending squared distances,
     lowest-index tie-breaks, query-in-support self-match). Gradients are cut,
     like every kNN path (the reference's ran under tf.py_func).
-    seg_w / tile_m override the segment width and query tile (sweeps).
+    seg_w / tile_m override the segment width and query tile (sweeps);
+    force_g / force_gt pin the two-level grouping factors (tests).
     """
     N = support.shape[1]
     if k > N or k > KP or N > MAX_SPATIAL_HBM_N:
@@ -237,12 +281,13 @@ def knn_point(k: int, support: jax.Array, query: jax.Array,
     # support and query are distinct tracers even when the caller passed the
     # same array (the self-kNN layers do — grouping passes xyz twice).
     if query is support:
-        return _knn_spatial(k, seg_w, tile_m, support, None)
-    return _knn_spatial(k, seg_w, tile_m, support, query)
+        return _knn_spatial(k, seg_w, tile_m, support, None, force_g, force_gt)
+    return _knn_spatial(k, seg_w, tile_m, support, query, force_g, force_gt)
 
 
-@functools.partial(jax.jit, static_argnums=(0, 1, 2))
-def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query):
+@functools.partial(jax.jit, static_argnums=(0, 1, 2, 5, 6))
+def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query,
+                 force_g: int = None, force_gt: int = None):
     B, N, _ = support.shape
     support = lax.stop_gradient(support.astype(jnp.float32))
     self_query = query is None
@@ -252,10 +297,23 @@ def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query):
         query = lax.stop_gradient(query.astype(jnp.float32))
     M = query.shape[1]
 
-    npad = _round_up(N, SEG_W)
-    mpad = _round_up(M, TILE_M)
+    # Two-level grouping factors (shapes are static at trace time): keep the
+    # per-(query-group, support-group) visit-order matrix bounded by growing
+    # supersegments of g segments; once grouping is active, also share each
+    # visit order across SUP_GT adjacent query tiles.
+    g = force_g or 1
+    if force_g is None:
+        n0 = -(-N // SEG_W)  # ceil: segments before supersegment padding
+        while -(-n0 // g) > SORT_MAX_SEGS:
+            g *= 2
+    gt = force_gt or (SUP_GT if g > 1 else 1)
+
+    npad = _round_up(N, SEG_W * g)
+    mpad = _round_up(M, TILE_M * gt)
     n_seg = npad // SEG_W
+    n_sup = n_seg // g
     n_tile = mpad // TILE_M
+    n_otile = n_tile // gt
 
     lo = jnp.min(support, axis=1, keepdims=True)
     hi = jnp.max(support, axis=1, keepdims=True)
@@ -285,25 +343,38 @@ def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query):
         qperm = jnp.argsort(_morton_codes(query, lo, hi), axis=1)
         q_sorted = jnp.take_along_axis(query, qperm[..., None], axis=1)
     q_sorted = jnp.pad(q_sorted, ((0, 0), (0, mpad - M), (0, 0)), mode="edge")
-    qc, qr = _sphere(q_sorted.reshape(B, n_tile, TILE_M, 3))  # (B,T,3), (B,T)
+
+    # Ordering spheres at GROUP resolution (supertiles x supersegments);
+    # g == gt == 1 reduces to per-tile/per-segment — the single-level mode.
+    # A containing sphere's lb is <= any member sphere's lb, so ordering and
+    # early-stop by group bounds never skips a contributing segment.
+    oqc, oqr = _sphere(q_sorted.reshape(B, n_otile, TILE_M * gt, 3))
+    if g == 1:
+        osc, osr = sc, sr
+    else:
+        osc, osr = _sphere(s_sorted.reshape(B, n_sup, SEG_W * g, 3))
+        osr = osr + _EPS_FRAC * jnp.max(hi - lo, axis=-1)
 
     ccd = jnp.sqrt(
-        jnp.maximum(jnp.sum(jnp.square(qc[:, :, None] - sc[:, None]), axis=-1), 0.0)
-    )  # (B, T, S)
-    lb = jnp.maximum(ccd - qr[:, :, None] - sr[:, None, :], 0.0)
+        jnp.maximum(
+            jnp.sum(jnp.square(oqc[:, :, None] - osc[:, None]), axis=-1), 0.0
+        )
+    )  # (B, T/gt, S/g)
+    lb = jnp.maximum(ccd - oqr[:, :, None] - osr[:, None, :], 0.0)
     lb2 = jnp.square(lb)
-    order = jnp.argsort(lb2, axis=2).astype(jnp.int32)  # (B, T, S)
+    order = jnp.argsort(lb2, axis=2).astype(jnp.int32)  # (B, T/gt, S/g)
     lbs = jnp.take_along_axis(lb2, order, axis=2)
-    # +inf sentinel so the while loop's lookahead read at s == S is safe.
+    # +inf sentinel so the while loop's lookahead read at s == n_sup is safe.
     lbs = jnp.pad(lbs, ((0, 0), (0, 0), (0, 1)), constant_values=_INF)
     order = jnp.pad(order, ((0, 0), (0, 0), (0, 1)))
-    # SMEM blocks: one (1, segments+1) row per (batch, tile) grid step — the
+    # SMEM blocks: one (1, n_sup+1) row per (batch, supertile) — the
     # singleton middle dim satisfies the "block dims equal array dims" rule.
-    lbs = lbs.reshape(B * n_tile, 1, n_seg + 1)
-    order = order.reshape(B * n_tile, 1, n_seg + 1)
+    lbs = lbs.reshape(B * n_otile, 1, n_sup + 1)
+    order = order.reshape(B * n_otile, 1, n_sup + 1)
 
-    q4 = jnp.pad(q_sorted, ((0, 0), (0, 0), (0, 1)))  # (B, mpad, 4)
+    q4 = jnp.pad(q_sorted, ((0, 0), (0, 0), (0, 125)))  # (B, mpad, 128)
     sph = jnp.concatenate([sc, sr[..., None]], axis=-1)  # (B, S, 4)
+    sph = jnp.pad(sph, ((0, 0), (0, 0), (0, 124)))  # (B, S, 128) — see kernel
 
     resident = N <= MAX_SPATIAL_N
     pack_spec = (
@@ -313,21 +384,21 @@ def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query):
         else pl.BlockSpec(memory_space=pl.ANY)
     )
     dist, idx = pl.pallas_call(
-        functools.partial(_knn_spatial_kernel, k=k, n_seg=n_seg,
+        functools.partial(_knn_spatial_kernel, k=k, n_sup=n_sup, g=g,
                           tile_m=TILE_M, resident=resident),
         grid=(B, n_tile),
         in_specs=[
-            pl.BlockSpec((1, TILE_M, 4), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TILE_M, 128), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pack_spec,
-            pl.BlockSpec((1, 1, n_seg + 1),
-                         lambda b, t, nt=n_tile: (b * nt + t, 0, 0),
+            pl.BlockSpec((1, 1, n_sup + 1),
+                         lambda b, t, no=n_otile, gg=gt: (b * no + t // gg, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 1, n_seg + 1),
-                         lambda b, t, nt=n_tile: (b * nt + t, 0, 0),
+            pl.BlockSpec((1, 1, n_sup + 1),
+                         lambda b, t, no=n_otile, gg=gt: (b * no + t // gg, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_seg, 4), lambda b, t: (b, 0, 0),
-                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, n_seg, 128), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, TILE_M, KP), lambda b, t: (b, t, 0),

@@ -1,8 +1,8 @@
 """Support-sharded geometry ops for multi-chip whole-scene processing.
 
-One v5e chip handles whole scenes to N=524288 (the spatial kNN kernel's
-HBM-pack cap); beyond that — or to cut latency — the support axis shards over the
-mesh. These are the TPU-native equivalents of a distributed KD-tree: each
+One v5e chip handles whole scenes to N=2097152 (the spatial kNN kernel's
+two-level HBM-pack cap); beyond that — or to cut latency — the support axis
+shards over the mesh. These are the TPU-native equivalents of a distributed KD-tree: each
 device runs the exact on-chip search over its support shard, and the
 cross-device combine is a single all_gather of (B, M, k) candidates over ICI
 (k*D values per query, tiny next to the O(N) scan it replaces).

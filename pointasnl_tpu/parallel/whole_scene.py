@@ -1,7 +1,7 @@
 """Point-sharded whole-scene inference for the residual seg model.
 
 Single-chip single-pass inference tops out at the chip's memory (the
-spatial kNN kernel reaches N=524288). This runs `pointasnl_sem_seg_res`'s
+spatial kNN kernel reaches N=2097152 with its two-level visit ordering). This runs `pointasnl_sem_seg_res`'s
 forward with the POINT axis sharded over a device mesh. Unlike the r2
 version (which all_gathered the stem output and kNN graph, so every device
 paid O(N) memory and the non-local K/V were fully replicated — the gap

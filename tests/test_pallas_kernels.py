@@ -7,6 +7,7 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from pointasnl_tpu.ops import geometry as g
+from pointasnl_tpu.ops import geometry as g_mod  # alias: some params shadow `g`
 from pointasnl_tpu.ops.dispatch import ops_backend
 from pointasnl_tpu.ops.pallas import fps as pfps
 
@@ -129,6 +130,39 @@ def test_pallas_knn_spatial_matches_oracle(rng, B, N, M, K, self_q):
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
     np.testing.assert_allclose(
         np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-5
+    )
+
+
+@pytest.mark.parametrize(
+    "B,N,M,K,self_q,g,gt",
+    [(1, 1500, 1500, 8, True, 4, 2), (2, 900, 300, 16, False, 2, 4),
+     (1, 1100, 1100, 32, True, 8, 1)],
+)
+def test_pallas_knn_spatial_two_level_matches_oracle(rng, B, N, M, K,
+                                                     self_q, g, gt):
+    """The two-level (supersegment/supertile) visit ordering — the mode that
+    extends the kernel past SORT_MAX_SEGS segments — stays exact: group
+    bounds only weaken the ordering, never the per-segment gating."""
+    from pointasnl_tpu.ops.pallas import knn_spatial as ks
+
+    support = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
+    query = support if self_q else jnp.asarray(rng.randn(B, M, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = ks.knn_point(
+            K, support, query, seg_w=128, force_g=g, force_gt=gt
+        )
+    want_d, want_i = g_mod.knn_point(K, support, query)
+    got_d, got_i = np.asarray(got_d), np.asarray(got_i)
+    want_d, want_i = np.asarray(want_d), np.asarray(want_i)
+    np.testing.assert_allclose(got_d, want_d, rtol=1e-5, atol=1e-5)
+    # Index disagreements are allowed ONLY at f32 near-ties (the kernel and
+    # the oracle round the same f64 distance differently at the last ulp —
+    # verified identical in single-level mode on the same clouds, so any
+    # EXTRA mismatch would flag a real two-level pruning bug).
+    mism = got_i != want_i
+    assert mism.mean() < 1e-3, f"{mism.sum()} index mismatches"
+    np.testing.assert_allclose(
+        got_d[mism], want_d[mism], rtol=1e-6, atol=1e-6
     )
 
 
