@@ -106,14 +106,18 @@ class JaxIouEval:
         self.include = np.array(
             [n for n in range(n_classes) if n not in self.ignore], dtype=np.int64
         )
+        # int32 on device: jax runs with x64 disabled (int64 would silently
+        # truncate and warn). 2^31 points per (pred, target) cell per eval
+        # pass is orders of magnitude beyond any epoch here; the reference's
+        # int64 accumulator (torch_ioueval.py) guarded the same margin.
         self._update = jax.jit(
             lambda conf, x, y: conf
-            + confusion_matrix(x, y, self.n_classes).T.astype(jnp.int64)
+            + confusion_matrix(x, y, self.n_classes).T.astype(jnp.int32)
         )
         self.reset()
 
     def reset(self):
-        self.conf_matrix = jnp.zeros((self.n_classes, self.n_classes), jnp.int64)
+        self.conf_matrix = jnp.zeros((self.n_classes, self.n_classes), jnp.int32)
 
     def addBatch(self, x, y):  # x=preds, y=targets; conf[pred, target] convention
         self.conf_matrix = self._update(self.conf_matrix, jnp.asarray(x), jnp.asarray(y))
