@@ -215,6 +215,45 @@ def test_pallas_knn_spatial_far_from_origin_exact(rng):
     np.testing.assert_array_equal(np.asarray(got_i)[0], want)
 
 
+def test_knn_spatial_two_level_engages_automatically(rng, monkeypatch):
+    """Past SORT_MAX_SEGS segments the two-level ordering must engage on its
+    own (not only under the force_g test override) and stay exact — this is
+    the path real whole-scene calls beyond 524288 points take."""
+    from pointasnl_tpu.ops.pallas import knn_spatial as ks
+
+    monkeypatch.setattr(ks, "SORT_MAX_SEGS", 4)  # 1664/128 = 13 segs -> g=4
+    support = jnp.asarray(rng.randn(1, 1664, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = ks.knn_point(8, support, support, seg_w=128)
+    want_d, want_i = g.knn_point(8, support, support)
+    got_i, want_i = np.asarray(got_i), np.asarray(want_i)
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-5
+    )
+    mism = got_i != want_i
+    assert mism.mean() < 1e-3, f"{mism.sum()} index mismatches"
+    np.testing.assert_allclose(
+        np.asarray(got_d)[mism], np.asarray(want_d)[mism], rtol=1e-6, atol=1e-6
+    )
+
+
+def test_knn_routing_beyond_spatial_cap_falls_to_streaming(rng, monkeypatch):
+    """N above MAX_SPATIAL_HBM_N (and k above KP) must fall back to the
+    streaming scan — the routing ladder's last rung — with oracle results."""
+    from pointasnl_tpu.ops.pallas import knn as pknn
+    from pointasnl_tpu.ops.pallas import knn_spatial as ks
+
+    monkeypatch.setattr(pknn, "RESIDENT_MAX_N", 0)
+    monkeypatch.setattr(pknn, "RESIDENT_RAISED_MAX_N", 0, raising=False)
+    monkeypatch.setattr(pknn, "TILE_N", 128)
+    monkeypatch.setattr(ks, "MAX_SPATIAL_HBM_N", 0)  # N "too big" for spatial
+    support = jnp.asarray(rng.randn(1, 700, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = pknn.knn_point(8, support, support)
+    want_d, want_i = g.knn_point(8, support, support)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
 def test_knn_routing_reaches_hbm_spatial_mode(rng, monkeypatch):
     """The public knn_point gate must accept up to MAX_SPATIAL_HBM_N, not
     just the VMEM cap (regression: the HBM-pack mode was unreachable)."""
