@@ -57,7 +57,13 @@ def _round_up(x: int, m: int) -> int:
 #   measured safe envelope with margin, not a derivation. Re-run the probe
 #   whenever the kernel's buffers change.
 _PHYS_BYTES_CAP = 100 * 1024 * 1024  # v5e VMEM is 128 MiB; keep ~22% headroom
-_NPAD_CAP_WIDE = 12288  # measured c=128 boundary (pass 14336) minus margin
+_NPAD_CAP_WIDE = 12288  # measured c=d=128 boundary (pass 14336) minus margin
+# The wide (>=128-lane) class is capped in BYTES, anchored to the measured
+# c=d=128 boundary: pass 2*14336*256*4 = 29.4 MiB, fail 33.5 MiB. Applying
+# the npad cap unscaled to c/d=256 would admit a 50 MiB working set — past
+# the measured failure point. The bytes form keeps the same c=d=128
+# threshold (npad 12288) and halves the admitted npad at c=d=256.
+_WIDE_BYTES_CAP = 2 * _NPAD_CAP_WIDE * (128 + 128) * 4  # 25.2 MiB
 
 
 def _bwd_working_set_bytes(n: int, c: int, d: int) -> int:
@@ -73,12 +79,12 @@ def _bwd_working_set_bytes(n: int, c: int, d: int) -> int:
 def fits_vmem(n: int, c: int, d: int) -> bool:
     """Whether the flash kernels (fwd + bwd) compile and run with resident
     K/V at this shape. Measured hardware envelope (see module constants):
-    bytes cap for the small-c lane classes, plus a separate npad cap for
+    bytes cap for the small-c lane classes, plus a tighter bytes cap for
     c or d >= 128 where Mosaic fails far earlier."""
-    npad = _round_up(max(n, 1), CHUNK_N)
-    if max(c, d) > 64 and npad > _NPAD_CAP_WIDE:
+    ws = _bwd_working_set_bytes(n, c, d)
+    if max(c, d) > 64 and ws > _WIDE_BYTES_CAP:
         return False
-    return _bwd_working_set_bytes(n, c, d) <= _PHYS_BYTES_CAP
+    return ws <= _PHYS_BYTES_CAP
 
 
 def _flash_fwd_kernel(q_ref, k_ref, v_ref, o_ref, stats_ref,

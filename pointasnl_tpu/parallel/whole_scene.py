@@ -225,7 +225,6 @@ def predict_scene_sharded(
         # ---- level 1: QUERY-SHARDED (the O(N)-heavy level) ----
         fps_loc = lax.dynamic_slice_in_dim(fps1, sid * qn1, qn1, 1)  # (B, qn1)
         sup1 = jnp.concatenate([sh_xyz, l0p_loc], axis=-1)  # (B, shard_n, 35)
-        center1 = take(sup1, fps_loc[..., None])[:, :, 0, :]  # (B, qn1, 35)
         l1_knn_loc = take(knn0_loc, fps_loc[..., None])[:, :, 0, :]  # (B, qn1, 32)
         g1 = take(sup1, l1_knn_loc)  # (B, qn1, 32, 35)
         g1_xyz = g1[..., :3]

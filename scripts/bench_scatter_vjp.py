@@ -22,15 +22,17 @@ from pointasnl_tpu.ops.scatter import onehot_scatter_add
 
 
 def timeit(fn, *args, iters=20):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # fetch-forced chained timing (BENCH_OPS.md methodology)
+    # FULLY-JITTED chain (CLAUDE.md timing trap): the dout->dout dependency
+    # lives inside one dispatch — an eager dependency between dispatches
+    # adds ~hundreds of us/iter of tunnel round-trips and fabricates
+    # regressions (BENCH_OPS.md round-3 postscript).
+    step = jax.jit(lambda x: x + fn(x, *args[1:]).sum() * 1e-20)
+    x = step(args[0])
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
-    x = args[0]
     for _ in range(iters):
-        out = fn(x, *args[1:])
-        x = x + out.sum() * 1e-20 if x.ndim == out.ndim else x * (1 + out.sum() * 1e-20)
-    _ = float(jnp.asarray(out).ravel()[0])
+        x = step(x)
+    jax.block_until_ready(x)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

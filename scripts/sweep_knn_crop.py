@@ -21,13 +21,16 @@ from pointasnl_tpu.ops.pallas import knn_spatial as pks
 
 
 def timeit(fn, x, iters=20):
-    d, i = fn(x)
-    jax.block_until_ready((d, i))
+    # FULLY-JITTED chain (CLAUDE.md timing trap): the cloud->cloud dependency
+    # lives inside one dispatch, so iterations serialize on device without
+    # per-iteration eager round-trips through the tunnel.
+    step = jax.jit(lambda c: c * (1 + fn(c)[0][0, 0, 0] * 1e-30))
+    x = step(x)
+    jax.block_until_ready(x)
     t0 = time.perf_counter()
     for _ in range(iters):
-        d, i = fn(x)
-        x = x * (1 + d[0, 0, 0] * 1e-30)  # chain: next call depends on last
-    _ = float(d[0, 0, 0])
+        x = step(x)
+    jax.block_until_ready(x)
     return (time.perf_counter() - t0) / iters * 1e3
 
 

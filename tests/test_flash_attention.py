@@ -64,3 +64,25 @@ def test_flash_pallas_backward_matches_dense(rng, M, N):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-4, err_msg=f"d{name}"
         )
+
+
+def test_fits_vmem_measured_envelope():
+    """Pin the fits_vmem guard to the probe measurements
+    (scripts/probe_flash_vmem.py, BENCH_OPS.md 'flash-attention VMEM
+    envelope'): the wide (>=128-lane) class is capped in BYTES anchored at
+    the measured c=d=128 boundary, so doubling c/d must halve the admitted
+    npad rather than keep it (the r3 review's failure scenario: a C=512
+    layer4 NL at npad 8192-12288 admitted by an unscaled npad cap would
+    crash the remote compile instead of routing to blockwise)."""
+    from pointasnl_tpu.ops.pallas import flash_attention as fa
+
+    # c=d=128: measured pass at 14336, fail at 16384; guard margin at 12288.
+    assert fa.fits_vmem(12288, 128, 128)
+    assert not fa.fits_vmem(12289, 128, 128)
+    # c=d=256 carries 2x the bytes/row: the cap must shrink accordingly.
+    assert fa.fits_vmem(6144, 256, 256)
+    assert not fa.fits_vmem(8192, 256, 256)
+    # Small-c lane classes are governed by the physical-bytes cap alone
+    # (c=d=32 measured fail at 65536; both operands lane-pad to 128).
+    assert fa.fits_vmem(32768, 32, 32)
+    assert not fa.fits_vmem(65536, 32, 32)
