@@ -36,13 +36,23 @@ def parse_args(argv=None):
     p.add_argument("--noise", action="store_true", help="noisy-point robustness sweep")
     p.add_argument("--num_classes", type=int, default=40)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--dp", action="store_true",
+        help="batch-shard the voting forwards over all local devices "
+        "(SPMD inference; requires batch_size divisible by device count "
+        "for the sharded fast path)",
+    )
     return p.parse_args(argv)
 
 
-def evaluate_once(state, predict, dataset, flags, rs, num_noisy_points=0, log=print):
+def evaluate_once(state, predict, dataset, flags, rs, num_noisy_points=0,
+                  log=print, place=None):
     import jax.numpy as jnp
 
     from pointasnl_tpu.data import provider
+
+    if place is None:
+        place = jnp.asarray
 
     total_correct = total_seen = 0
     class_seen = np.zeros(flags.num_classes)
@@ -62,7 +72,7 @@ def evaluate_once(state, predict, dataset, flags, rs, num_noisy_points=0, log=pr
         for _ in range(flags.num_votes):
             shuffled = np.arange(flags.num_point)
             rs.shuffle(shuffled)
-            logits = predict(state, jnp.asarray(batch_data[:, shuffled, :], jnp.float32))
+            logits = predict(state, place(batch_data[:, shuffled, :], jnp.float32))
             pred_sum += np.asarray(logits)
         preds = np.argmax(pred_sum, 1)[:bsize]
         labels = batch_label[:bsize]
@@ -115,10 +125,17 @@ def main(argv=None):
     example = jnp.zeros((flags.batch_size, flags.num_point, dataset.num_channel()), jnp.float32)
     state = create_train_state(model, example, tx=tx, rng=jax.random.PRNGKey(0))
     state = restore_checkpoint(state, flags.log_dir, flags.ckpt)
+    place = None
+    if flags.dp:
+        from pointasnl_tpu.parallel.mesh import setup_data_parallel_eval
+
+        state, place = setup_data_parallel_eval(state, log)
     predict = make_predict_step()
 
     log("*** Evaluation ***")
-    acc, class_accs = evaluate_once(state, predict, dataset, flags, rs, log=log)
+    acc, class_accs = evaluate_once(
+        state, predict, dataset, flags, rs, log=log, place=place
+    )
     for i, name in enumerate(dataset.cat):
         log(f"{name:>12s}:\t{class_accs[i]:.3f}")
 
@@ -127,7 +144,10 @@ def main(argv=None):
         sweep = {0: acc}
         for n in NOISE_POINTS:
             log(f"*** Evaluation with {n} Noisy Points ***")
-            nacc, _ = evaluate_once(state, predict, dataset, flags, rs, num_noisy_points=n, log=log)
+            nacc, _ = evaluate_once(
+                state, predict, dataset, flags, rs,
+                num_noisy_points=n, log=log, place=place,
+            )
             lines.append(f" {n:03d}       {nacc:.3f}")
             sweep[n] = nacc
         log("\n".join(lines))

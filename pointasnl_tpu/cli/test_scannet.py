@@ -65,6 +65,13 @@ def parse_args(argv=None):
         "ring non-local attention — per-device memory O(N/devices)). "
         "Requires --single_pass and --model pointasnl_sem_seg_res.",
     )
+    p.add_argument(
+        "--dp", action="store_true",
+        help="batch-shard the chopped sliding-window forwards over all "
+        "local devices (SPMD inference; requires batch_size divisible by "
+        "device count for the sharded fast path). Mutually exclusive with "
+        "--sharded, which shards the POINT axis instead.",
+    )
     return p.parse_args(argv)
 
 
@@ -104,6 +111,16 @@ def main(argv=None):
     example = jnp.zeros((flags.batch_size, flags.num_point, 3 + feature_channel), jnp.float32)
     state = create_train_state(model, example, tx=tx, rng=jax.random.PRNGKey(0))
     state = restore_checkpoint(state, flags.model_path, flags.ckpt)
+    place = jnp.asarray
+    if flags.dp:
+        if flags.sharded:
+            raise ValueError(
+                "--dp (batch-sharded) and --sharded (point-sharded) are "
+                "mutually exclusive"
+            )
+        from pointasnl_tpu.parallel.mesh import setup_data_parallel_eval
+
+        state, place = setup_data_parallel_eval(state, log)
     predict = make_predict_step()
     log("Model restored.")
 
@@ -201,7 +218,7 @@ def main(argv=None):
                 batch_index[:real] = scene_point_index[start:end]
                 batch_smpw[:real] = scene_smpw[start:end]
 
-                logits = np.asarray(predict(state, jnp.asarray(batch_data)))
+                logits = np.asarray(predict(state, place(batch_data)))
                 # argmax over classes 1: then +1 (never predict unannotated)
                 pred_label = np.argmax(logits[:, :, 1:], 2) + 1
                 vote_label_pool = add_vote(

@@ -43,6 +43,12 @@ def parse_args(argv=None):
     p.add_argument("--remap_inv", action="store_true", help="write raw label ids")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_scans", type=int, default=0, help="0 = all")
+    p.add_argument(
+        "--dp", action="store_true",
+        help="batch-shard the sliding-window forwards over all local "
+        "devices (SPMD inference; requires batch_size divisible by device "
+        "count for the sharded fast path)",
+    )
     return p.parse_args(argv)
 
 
@@ -83,6 +89,11 @@ def main(argv=None):
     example = jnp.zeros((flags.batch_size, flags.num_point, 3 + feature_channel), jnp.float32)
     state = create_train_state(model, example, tx=tx, rng=jax.random.PRNGKey(0))
     state = restore_checkpoint(state, flags.model_path, flags.ckpt)
+    place = jnp.asarray
+    if flags.dp:
+        from pointasnl_tpu.parallel.mesh import setup_data_parallel_eval
+
+        state, place = setup_data_parallel_eval(state, log)
     predict = make_predict_step()
     log("Model restored.")
 
@@ -126,7 +137,7 @@ def main(argv=None):
                     batch_data[:, :, :3] = provider.rotate_point_cloud_z(
                         batch_data[:, :, :3], random_state=rs
                     )
-                logits = np.asarray(predict(state, jnp.asarray(batch_data)))
+                logits = np.asarray(predict(state, place(batch_data)))
                 pred_label = np.argmax(logits[:, :, 1:], 2) + 1
                 vote_label_pool = add_vote(
                     vote_label_pool,

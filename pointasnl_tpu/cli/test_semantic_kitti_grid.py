@@ -36,6 +36,12 @@ def parse_args(argv=None):
         "(the reference's TimeLiner role, test_scannet_grid.py:53-75)",
     )
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--dp", action="store_true",
+        help="batch-shard the vote rounds over all local devices "
+        "(SPMD inference; requires batch_size divisible by device count "
+        "for the sharded fast path)",
+    )
     return p.parse_args(argv)
 
 
@@ -85,6 +91,11 @@ def main(argv=None):
     example = jnp.zeros((batch_size, num_point, 3), jnp.float32)
     state = create_train_state(model, example, tx=tx, rng=jax.random.PRNGKey(0))
     state = restore_checkpoint(state, flags.model_path, flags.ckpt)
+    place = jnp.asarray
+    if flags.dp:
+        from pointasnl_tpu.parallel.mesh import setup_data_parallel_eval
+
+        state, place = setup_data_parallel_eval(state, log)
     predict = make_predict_step()
     log("Model restored.")
 
@@ -106,7 +117,7 @@ def main(argv=None):
                 start_trace(os.path.join(flags.save_dir, "profile"))
                 tracing = True
             pred_steps += 1
-            logits = np.asarray(predict(state, jnp.asarray(batch["points"])))
+            logits = np.asarray(predict(state, place(batch["points"])))
             if tracing and pred_steps >= 3:
                 stop_trace()  # logits fetch above already synced the device
                 tracing = False

@@ -91,3 +91,39 @@ def setup_data_parallel(state, batch_size: int, log=print):
         return jax.device_put(x, batch_sharding(mesh, x.ndim))
 
     return state, place_batch
+
+
+def setup_data_parallel_eval(state, log=print):
+    """Turn-key DP for a TESTER: replicate the restored state and return
+    (state, place) for batch-sharded SPMD inference.
+
+    Unlike `setup_data_parallel` there is no strict divisibility check:
+    eval streams can end in a ragged tail batch (e.g. the ModelNet test
+    split), and vote batch sizes are user-overridable at test time. A
+    divisible batch is sharded over the 'data' axis; a ragged one falls
+    back to replicated placement — correct either way, the tail just runs
+    without the speedup (and compiles a second executable for its
+    sharding). Inference reads stored BN stats, so no cross-device state
+    ever needs reconciling. The reference evaluates single-GPU only; this
+    is the repo's own TPU-native surface (SURVEY.md §2.9).
+    """
+    import jax.numpy as jnp
+
+    devices = jax.devices()
+    if len(devices) <= 1:
+        log("data-parallel requested but only one device is visible; "
+            "running single-device")
+        return state, jnp.asarray
+
+    mesh = make_mesh()
+    ndev = mesh.devices.size
+    state = replicate(state, mesh)
+    log(f"data-parallel eval over {ndev} devices")
+
+    def place(x, dtype=None):
+        x = np.asarray(x, dtype=dtype)
+        if x.shape[0] % ndev == 0:
+            return jax.device_put(x, batch_sharding(mesh, x.ndim))
+        return jnp.asarray(x)
+
+    return state, place

@@ -1,10 +1,13 @@
-"""--dp end-to-end: every trainer CLI runs data-parallel on the 8-device mesh.
+"""--dp end-to-end: every trainer AND tester CLI runs data-parallel on the
+8-device mesh.
 
 VERDICT r2 item 1: the DP machinery was step-level tested (test_parallel.py)
 but the flag's glue — mesh build, state replication, `place_batch` feeding,
 checkpointing of replicated state — was unexercised from the CLIs. These run
 each of the five trainers' main() with --dp and batch_size=8 (divisible by
-the 8 virtual CPU devices, tests/conftest.py) in debug mode.
+the 8 virtual CPU devices, tests/conftest.py) in debug mode, then drive the
+matching tester with --dp against the trained log dir (batch-sharded SPMD
+vote/eval forwards via parallel/mesh.py:setup_data_parallel_eval).
 
 Reference anchor: the reference has no DP at all (SURVEY.md §2.9); this is
 the repo's own TPU-native contract.
@@ -81,6 +84,21 @@ def test_train_modelnet_dp(modelnet_root, tmp_path):
     # replicated state checkpoints cleanly
     assert os.path.isdir(os.path.join(log_dir, "latest"))
 
+    # eval-side DP: batch-sharded voting forwards over the same mesh
+    from pointasnl_tpu.cli import test_modelnet
+
+    acc = test_modelnet.main(
+        [
+            "--data", modelnet_root,
+            "--log_dir", log_dir,
+            "--batch_size", "8",
+            "--num_point", "128",
+            "--num_votes", "1",
+            "--dp",
+        ]
+    )
+    assert 0.0 <= acc <= 1.0
+
 
 def test_train_scannet_dp(scannet_root, tmp_path):
     from pointasnl_tpu.cli import train_scannet
@@ -99,6 +117,25 @@ def test_train_scannet_dp(scannet_root, tmp_path):
     )
     assert 0.0 <= best_iou <= 1.0
     assert os.path.isdir(os.path.join(log_dir, "latest"))
+
+    # eval-side DP on the chopped sliding-window path (batch-sharded; the
+    # zero-padded fixed-size batches always take the sharded fast path)
+    from pointasnl_tpu.cli import test_scannet
+
+    miou = test_scannet.main(
+        [
+            "--data", scannet_root,
+            "--model_path", log_dir,
+            "--ckpt", "latest",
+            "--dump_dir", str(tmp_path / "dump"),
+            "--batch_size", "8",
+            "--num_point", "512",
+            "--num_votes", "1",
+            "--max_scenes", "1",
+            "--dp",
+        ]
+    )
+    assert 0.0 <= miou <= 1.0
 
 
 def test_train_semantic_kitti_dp(tmp_path_factory, tmp_path):
@@ -134,6 +171,25 @@ def test_train_semantic_kitti_dp(tmp_path_factory, tmp_path):
         ]
     )
     assert 0.0 <= best_iou <= 1.0
+
+    # eval-side DP on the KITTI sliding-window tester
+    from pointasnl_tpu.cli import test_semantic_kitti
+
+    miou = test_semantic_kitti.main(
+        [
+            "--data", str(root),
+            "--model_path", log_dir,
+            "--ckpt", "latest",
+            "--dump_dir", str(tmp_path / "dump"),
+            "--save_dir", str(tmp_path / "pred"),
+            "--batch_size", "8",
+            "--num_point", "512",
+            "--num_votes", "1",
+            "--max_scans", "1",
+            "--dp",
+        ]
+    )
+    assert 0.0 <= miou <= 1.0
 
 
 def test_train_scannet_grid_dp(tmp_path_factory, tmp_path):
@@ -177,6 +233,23 @@ def test_train_scannet_grid_dp(tmp_path_factory, tmp_path):
     assert best >= 0.0
     assert os.path.exists(os.path.join(log_dir, "args.txt"))
 
+    # eval-side DP: batch-sharded potential-vote rounds
+    from pointasnl_tpu.cli import test_scannet_grid
+
+    miou = test_scannet_grid.main(
+        [
+            "--data", str(root),
+            "--model_path", log_dir,
+            "--ckpt", "latest",
+            "--dump_dir", str(tmp_path / "dump"),
+            "--num_votes", "0.001",
+            "--max_rounds", "1",
+            "--batch_size", "8",
+            "--dp",
+        ]
+    )
+    assert miou is not None and miou >= 0.0
+
 
 def test_train_semantic_kitti_grid_dp(tmp_path_factory, tmp_path):
     rng = np.random.RandomState(1)
@@ -213,3 +286,22 @@ def test_train_semantic_kitti_grid_dp(tmp_path_factory, tmp_path):
         ]
     )
     assert best >= 0.0
+
+    # eval-side DP: batch-sharded possibility-vote rounds + .label dump
+    from pointasnl_tpu.cli import test_semantic_kitti_grid
+
+    test_semantic_kitti_grid.main(
+        [
+            "--data", str(root),
+            "--model_path", log_dir,
+            "--ckpt", "latest",
+            "--save_dir", str(tmp_path / "pred"),
+            "--test_id", "8",
+            "--num_votes", "0.001",
+            "--max_rounds", "1",
+            "--batch_size", "8",
+            "--dp",
+        ]
+    )
+    pred_dir = tmp_path / "pred" / "sequences" / "08" / "predictions"
+    assert any(f.endswith(".label") for f in os.listdir(pred_dir))
