@@ -9,6 +9,11 @@ argmax over classes 1: (+1), vote pooling into original point ids, uint32
 label ids — what the official semantic-kitti-api evaluator expects (the
 reference block tester writes raw training ids and relies on the api's remap
 script; the grid tester remaps, so both conventions are available here).
+
+`--single_pass` skips the chopping entirely and feeds the WHOLE LiDAR scan
+(~120k points) through the model at once — memory-bounded NL attention
+(`--nl_block_size`) + the spatially-pruned kNN make this TPU-native path
+possible where the reference's dense attention map could not exist.
 """
 
 from __future__ import annotations
@@ -18,7 +23,12 @@ import os
 
 import numpy as np
 
-from pointasnl_tpu.cli.seg_common import SegEvalAccumulator, add_vote
+from pointasnl_tpu.cli.seg_common import (
+    SegEvalAccumulator,
+    add_nl_args,
+    add_vote,
+    nl_kwargs,
+)
 
 
 def parse_args(argv=None):
@@ -43,6 +53,19 @@ def parse_args(argv=None):
     p.add_argument("--remap_inv", action="store_true", help="write raw label ids")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_scans", type=int, default=0, help="0 = all")
+    add_nl_args(p)
+    p.add_argument(
+        "--single_pass", action="store_true",
+        help="whole-scan single-pass inference: the ENTIRE LiDAR scan goes "
+        "through the model at once (memory-bounded attention/kNN) instead "
+        "of the reference's strided block chopping. Pair with "
+        "--nl_block_size for scan-scale attention memory.",
+    )
+    p.add_argument(
+        "--pad_quantum", type=int, default=8192,
+        help="single-pass scans are dup-padded up to a multiple of this "
+        "(bounds jit recompiles across scan sizes; must be divisible by 256)",
+    )
     p.add_argument(
         "--dp", action="store_true",
         help="batch-shard the sliding-window forwards over all local "
@@ -83,7 +106,8 @@ def main(argv=None):
     )
 
     model = get_model_class(flags.model)(
-        num_class=flags.num_classes, feature_channel=feature_channel
+        num_class=flags.num_classes, feature_channel=feature_channel,
+        **nl_kwargs(flags),
     )
     tx = make_optimizer("adam", staircase_lr_schedule(1e-3, flags.batch_size, 2e5, 0.7))
     example = jnp.zeros((flags.batch_size, flags.num_point, 3 + feature_channel), jnp.float32)
@@ -113,7 +137,40 @@ def main(argv=None):
 
         whole_scene_label = None
         vote_label_pool = None
-        for _ in range(flags.num_votes):
+        if flags.single_pass:
+            # Whole scan through the model at once, per vote: fresh point
+            # order each vote re-seeds FPS (the voting randomness), as in
+            # the reference protocol; dup-padding to a quantum bounds jit
+            # recompiles across scan sizes (mirrors test_scannet).
+            pts_full, whole_scene_label = dataset.whole_scan(scan_idx)
+            n = pts_full.shape[0]
+            vote_label_pool = np.zeros((n, flags.num_classes))
+            quantum = max(256, flags.pad_quantum - flags.pad_quantum % 256)
+            for _ in range(flags.num_votes):
+                pidx = np.arange(n)
+                pts = pts_full
+                n_pad = (-n) % quantum
+                if n_pad:
+                    dup = rs.choice(n, n_pad)
+                    pts = np.concatenate([pts, pts[dup]], axis=0)
+                    pidx = np.concatenate([pidx, dup], axis=0)
+                order = rs.permutation(pts.shape[0])
+                pts, pidx = pts[order].copy(), pidx[order]
+                if flags.random_rotate:
+                    pts[:, :3] = provider.rotate_point_cloud_z(
+                        pts[None, :, :3], random_state=rs
+                    )[0]
+                scene_in = jnp.asarray(pts[None, :, : 3 + feature_channel])
+                logits = np.asarray(predict(state, scene_in))[0]
+                pred_label = np.argmax(logits[:, 1:], 1) + 1
+                vote_label_pool = add_vote(
+                    vote_label_pool, pidx[None], pred_label[None],
+                    np.ones((1, len(pidx))),
+                )
+            num_votes_done = flags.num_votes
+        else:
+            num_votes_done = 0
+        for _ in range(flags.num_votes - num_votes_done):
             item = dataset[scan_idx]
             if flags.dataset == "test":
                 scene_data, scene_point_index, whole_scene_data = item

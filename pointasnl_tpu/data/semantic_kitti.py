@@ -329,6 +329,30 @@ class SemanticKittiDatasetSlidingWindow:
         dist = [np.linalg.norm(c - block_center, ord=2) for c in block_center_list]
         return int(np.argsort(dist)[0])
 
+    def whole_scan(self, index):
+        """The entire scan as ONE sample (single-pass inference path).
+
+        No chopping, no merging — the TPU-native whole-scene path feeds all
+        points through the model at once with memory-bounded attention/kNN
+        (SURVEY.md §5.7; the reference chops every scan into strided blocks,
+        semantic_kitti_dataset.py:217-358). Coordinates stay at raw world
+        scale, matching the block paths (neither train nor sliding-window
+        blocks recenter).
+
+        Returns (points (N, 3+f) float32, labels (N,) or None).
+        """
+        self.scan.open_scan(self.points_name[index])
+        pts = self.scan.points
+        if self.with_remission:
+            pts = np.concatenate([pts, self.scan.remissions[:, None]], axis=1)
+        label = None
+        if self.split != "test":
+            self.scan.open_label(self.label_name[index])
+            label = self.scan.sem_label
+            if self.should_map:
+                label = self.remap_lut[label]
+        return pts.astype(np.float32), label
+
     def __getitem__(self, index):
         self.scan.open_scan(self.points_name[index])
         point_set_ini = self.scan.points

@@ -69,3 +69,32 @@ def test_train_and_test_kitti_cli(synthetic_kitti, tmp_path):
     assert out.shape[0] == 4000
     valid_raw = {0, 10, 11, 15, 18, 20, 30, 31, 32, 40, 44, 48, 49, 50, 51, 70, 71, 72, 80, 81}
     assert set(np.unique(out)).issubset(valid_raw)
+
+    # whole-scan single-pass inference (the TPU-native alternative to the
+    # reference's strided block chopping): the entire 4000-point scan goes
+    # through the model at once with blockwise NL attention
+    miou_sp = test_semantic_kitti.main(
+        [
+            "--data", synthetic_kitti,
+            "--model_path", log_dir,
+            "--ckpt", "latest",
+            "--dump_dir", str(tmp_path / "dump_sp"),
+            "--save_dir", str(tmp_path / "pred_sp"),
+            "--batch_size", "2",
+            "--num_point", "512",
+            "--num_votes", "1",
+            "--with_remission",
+            "--max_scans", "1",
+            "--single_pass",
+            "--pad_quantum", "512",
+            "--nl_block_size", "512",
+        ]
+    )
+    assert 0.0 <= miou_sp <= 1.0
+    sp_files = list(
+        (tmp_path / "pred_sp" / "sequences" / "08" / "predictions").glob("*.label")
+    )
+    assert len(sp_files) == 1
+    out_sp = np.fromfile(sp_files[0], dtype=np.uint32)
+    assert out_sp.shape[0] == 4000
+    assert out_sp.max() < 20  # learning-ids (no --remap_inv)
