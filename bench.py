@@ -8,7 +8,10 @@ each in float32 and bfloat16 compute, reporting points/sec/chip, step time,
 and MFU (XLA cost-analysis FLOPs / step time / chip peak).
 
 Prints ONE JSON line. The primary metric stays the cls-train throughput for
-round-over-round comparability; all four runs are in "entries".
+round-over-round comparability; all runs are in "entries", including the
+batch-scaled variants and a 131k-point whole-scene single-pass inference
+entry (the scene-scale capability the reference's crop pipeline cannot
+express; skipped gracefully if it cannot run).
 
 Baseline note: the reference publishes no throughput numbers (SURVEY.md §6)
 — accuracy only. "vs_baseline" is therefore measured against an ESTIMATE
@@ -134,6 +137,60 @@ def bench_one(name: str, task: str, batch_size: int, num_point: int, dtype: str,
     }
 
 
+def bench_whole_scene(n: int = 131072, block: int = 4096,
+                      n_iters: int = 4) -> dict | None:
+    """Single-pass whole-scene seg inference on one chip — the scene-scale
+    capability entry (memory-bounded NL attention + spatially-pruned kNN;
+    the reference must chop scenes into 8-10k crops, and a dense NL map at
+    this N could not exist: ~8.6 GB at layer1 alone). Surface-like scene at
+    indoor-scan density (extent 6.0 @ 131k, CLAUDE.md). Returns None instead
+    of failing the bench if this entry cannot run."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointasnl_tpu.data.synthetic import surface_scene
+    from pointasnl_tpu.models import PointASNLSemSegRes
+
+    try:
+        rng = np.random.RandomState(0)
+        n = n - n % 256
+        points = jnp.asarray(surface_scene(rng, 1, n, extent=6.0))
+        model = PointASNLSemSegRes(num_class=21, nl_kv_block_size=block)
+        variables = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            points[:, :2048],  # init small; params are shape-agnostic
+            training=False,
+            bn_momentum=0.9,
+        )
+
+        def one(pts):
+            logits, _ = model.apply(
+                variables, pts, training=False, bn_momentum=0.9
+            )
+            return pts + logits.sum() * 1e-12  # chain iterations
+
+        run = jax.jit(one)
+        x = run(points)
+        float(x[0, 0, 0])  # compile + warm
+        t0 = time.perf_counter()
+        for _ in range(n_iters):
+            x = run(x)
+        _ = float(x[0, 0, 0])
+        dt = (time.perf_counter() - t0) / n_iters
+        return {
+            "config": "whole_scene_single_pass",
+            "dtype": "float32",
+            "batch_size": 1,
+            "num_point": n,
+            "points_per_sec_per_chip": round(n / dt, 1),
+            "forward_ms": round(dt * 1e3, 1),
+        }
+    except Exception as e:  # never fail the whole bench on this entry
+        print(f"# whole-scene entry skipped: {type(e).__name__}: {str(e)[:200]}",
+              flush=True)
+        return None
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -150,6 +207,9 @@ def main():
         bench_one("scannet_seg_res_b16", "seg", 16, 10240, "float32"),
         bench_one("scannet_seg_res_b16", "seg", 16, 10240, "bfloat16"),
     ]
+    scene = bench_whole_scene()
+    if scene is not None:
+        entries.append(scene)
     primary = entries[0]
 
     # Forward-only (inference) throughput on the cls config,
