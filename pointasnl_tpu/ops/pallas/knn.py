@@ -43,9 +43,17 @@ TILE_N = 4096  # support chunk of the streaming kernel; bounds VMEM at any N
 # Up to this support size the whole (TILE_M, N) distance block stays resident
 # in VMEM scratch — measured 2.2x faster than the streaming merge at parity
 # scales. The cap leaves room for one (TILE_M, N) temporary next to the
-# scratch under the 16 MB scoped-VMEM limit (12288 -> 6.3 + 6.3 MB); the
-# spatial kernel takes over beyond.
+# scratch under Mosaic's DEFAULT 16 MB scoped-VMEM limit (12288 ->
+# 6.3 + 6.3 MB); past it the kernel raises the limit via
+# pltpu.CompilerParams(vmem_limit_bytes) up to RESIDENT_RAISED_MAX_N —
+# bounded by the toolchain's ~2^17-lane array ceiling (BENCH_OPS.md "FPS
+# scene-scale compile boundary") — where the spatial kernel takes over.
 RESIDENT_MAX_N = 12288
+RESIDENT_RAISED_MAX_N = 65536
+VMEM_LIMIT_BYTES = 112 * 2 ** 20
+# Working-set size (scratch + one (TILE_M, Np) temporary) above which the
+# raised limit is requested; below it the default 16 MB budget suffices.
+VMEM_RAISE_THRESHOLD_BYTES = 15 * 2 ** 20
 _INF = 3e38  # python float: jnp constants would be captured tracers
 
 
@@ -200,7 +208,7 @@ def _knn_scan(k: int, support: jax.Array, query: jax.Array):
     support = lax.stop_gradient(support.astype(jnp.float32))
     query = lax.stop_gradient(query.astype(jnp.float32))
 
-    resident = N <= RESIDENT_MAX_N
+    resident = N <= RESIDENT_RAISED_MAX_N
     tn = _round_up(N, LANE) if resident else min(TILE_N, _round_up(N, LANE))
     npad = _round_up(N, tn)
     mpad = _round_up(M, TILE_M)
@@ -253,6 +261,14 @@ def _knn_scan(k: int, support: jax.Array, query: jax.Array):
         )
         scratch = []
 
+    # Past the default 16 MB scoped-VMEM budget (scratch + one (TILE_M, Np)
+    # temporary), raise the Mosaic limit instead of falling to the slower
+    # merge paths — v5e has 128 MB physical VMEM and the revisited-support
+    # grid has no pipelining to starve at these block sizes.
+    vmem_limit = None
+    if resident and TILE_M * npad * 8 > VMEM_RAISE_THRESHOLD_BYTES:
+        vmem_limit = VMEM_LIMIT_BYTES
+
     dist, idx = pl.pallas_call(
         kernel,
         grid=grid,
@@ -263,6 +279,7 @@ def _knn_scan(k: int, support: jax.Array, query: jax.Array):
             jax.ShapeDtypeStruct((B, mpad, kp), jnp.int32),
         ),
         scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=vmem_limit),
         cost_estimate=pl.CostEstimate(
             flops=B * mpad * npad * (8 + 4 * k),
             bytes_accessed=B * (mpad * 4 + 4 * npad + 2 * mpad * kp) * 4,

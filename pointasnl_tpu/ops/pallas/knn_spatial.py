@@ -123,7 +123,9 @@ def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, sph_ref,
                         dist_ref, idx_ref, blk_scratch, dma_sem,
                         *, k: int, n_sup: int, g: int, tile_m: int,
                         resident: bool):
-    # q_ref:    (1, TILE_M, 128) sorted query xyz in lanes 0-2, rest zero
+    # q_ref:    (1, TILE_M, 8) sorted query xyz in lanes 0-2, rest zero
+    #           (8 logical lanes keep HBM/DMA small; Mosaic lane-pads the
+    #           VMEM tiles internally either way)
     # pack_ref: (1, S, 8, SEG_W) VMEM when resident, else the full
     #           (B, S, 8, SEG_W) array left in HBM (ANY) and DMA'd per visit
     # order_ref:(1, 1, n_sup + 1) int32 SMEM — SUPERsegment visit order,
@@ -131,13 +133,13 @@ def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, sph_ref,
     #           g == 1 is the single-level mode)
     # lbs_ref:  (1, 1, n_sup + 1) f32 SMEM — matching lower bounds; +inf
     #           sentinel
-    # sph_ref:  (1, S, 128) f32 VMEM — segment bounding spheres in lanes
+    # sph_ref:  (1, S, 8) f32 VMEM — segment bounding spheres in lanes
     #           0-3 (cx, cy, cz, r), rest zero. VMEM (not SMEM) because the
     #           table is S-sized: past ~1024 segments a (S, 4) SMEM table
     #           exceeds the per-core scalar-memory budget (measured: the
     #           remote compile crashes at 32 KB where 16 KB passes), while
-    #           the 128-lane VMEM rows cost the same one-VPU-block per
-    #           gate evaluation as the scalar form.
+    #           the lane-vector rows cost the same one-VPU-block per gate
+    #           evaluation as the scalar form.
     # dist/idx: (1, TILE_M, KP)
     # blk_scratch/dma_sem: (8, SEG_W) VMEM landing pad + semaphore (HBM mode)
     q = q_ref[0]  # (tile_m, 4)
@@ -173,7 +175,7 @@ def _knn_spatial_kernel(q_ref, pack_ref, order_ref, lbs_ref, sph_ref,
         # (one VPU block row vs a (tile_m, SEG_W) block visit). The sphere
         # row lives in VMEM lanes: centre distance is a masked lane reduce
         # of (q - sphrow)^2 (q's lanes past 2 and sphrow's past 3 are zero).
-        sphrow = sph_ref[0, seg][None, :]  # (1, 128)
+        sphrow = sph_ref[0, seg][None, :]  # (1, 8)
         lane128 = lax.broadcasted_iota(jnp.int32, sphrow.shape, 1)
         dq2 = jnp.sum(
             jnp.where(lane128 < 3, jnp.square(q - sphrow), 0.0),
@@ -372,9 +374,9 @@ def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query,
     lbs = lbs.reshape(B * n_otile, 1, n_sup + 1)
     order = order.reshape(B * n_otile, 1, n_sup + 1)
 
-    q4 = jnp.pad(q_sorted, ((0, 0), (0, 0), (0, 125)))  # (B, mpad, 128)
+    q4 = jnp.pad(q_sorted, ((0, 0), (0, 0), (0, 5)))  # (B, mpad, 8)
     sph = jnp.concatenate([sc, sr[..., None]], axis=-1)  # (B, S, 4)
-    sph = jnp.pad(sph, ((0, 0), (0, 0), (0, 124)))  # (B, S, 128) — see kernel
+    sph = jnp.pad(sph, ((0, 0), (0, 0), (0, 4)))  # (B, S, 8) — see kernel
 
     resident = N <= MAX_SPATIAL_N
     pack_spec = (
@@ -388,7 +390,7 @@ def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query,
                           tile_m=TILE_M, resident=resident),
         grid=(B, n_tile),
         in_specs=[
-            pl.BlockSpec((1, TILE_M, 128), lambda b, t: (b, t, 0),
+            pl.BlockSpec((1, TILE_M, 8), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
             pack_spec,
             pl.BlockSpec((1, 1, n_sup + 1),
@@ -397,7 +399,7 @@ def _knn_spatial(k: int, SEG_W: int, TILE_M: int, support: jax.Array, query,
             pl.BlockSpec((1, 1, n_sup + 1),
                          lambda b, t, no=n_otile, gg=gt: (b * no + t // gg, 0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n_seg, 128), lambda b, t: (b, 0, 0),
+            pl.BlockSpec((1, n_seg, 8), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(

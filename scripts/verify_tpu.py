@@ -59,6 +59,39 @@ def main():
         assert frac < 1e-4, f"{name} kNN mis-ranks {frac:.2%} at scale"
         print(f"pallas knn[{name}] {M}x{N} k{K}: OK ({mism} near-tie diffs)")
 
+    # 1c. Scene-scale checks, f64 oracle on SAMPLED query rows (the full
+    # N^2 oracle would need ~137 GB at 131k). Covers the spatial kernel's
+    # HBM-pack/two-level machinery and the raised-VMEM resident rung —
+    # the paths the 10240-scale checks above never reach.
+    from pointasnl_tpu.data.synthetic import surface_scene
+
+    def check_rows(name, got_i, x64, q64, rows, k):
+        mism = 0
+        for r in rows:
+            d2 = ((q64[r] - x64) ** 2).sum(-1)
+            want = np.argsort(d2, kind="stable")[:k]
+            mism += int((got_i[r] != want).sum())
+        frac = mism / (len(rows) * k)
+        assert frac < 1e-4, f"{name} mis-ranks {frac:.2%} at scene scale"
+        print(f"pallas knn[{name}]: OK ({mism} near-tie diffs "
+              f"on {len(rows)} sampled rows)")
+
+    n_scene = 131072
+    scene = jnp.asarray(surface_scene(rng, 1, n_scene, extent=6.0))
+    _, gi = ks.knn_point(32, scene, scene)  # self-kNN: the whole-scene path
+    gi = np.asarray(gi)[0]
+    x64 = np.asarray(scene, np.float64)[0]
+    rows = rng.choice(n_scene, 512, replace=False)
+    check_rows(f"spatial-{n_scene}", gi, x64, x64, rows, 32)
+
+    n_res = 32768  # 12288 < N <= RESIDENT_RAISED_MAX_N: raised-VMEM rung
+    cloud = jnp.asarray(surface_scene(rng, 1, n_res, extent=3.0))
+    _, gi = pknn._knn_scan(32, cloud, cloud)
+    gi = np.asarray(gi)[0]
+    x64 = np.asarray(cloud, np.float64)[0]
+    rows = rng.choice(n_res, 512, replace=False)
+    check_rows(f"resident-raised-{n_res}", gi, x64, x64, rows, 32)
+
     # 2. Flash attention vs dense on device
     from pointasnl_tpu.ops.pallas.flash_attention import flash_attention
 

@@ -267,3 +267,23 @@ def test_knn_routing_reaches_hbm_spatial_mode(rng, monkeypatch):
         got_d, got_i = pknn.knn_point(8, support, support)
     want_d, want_i = g.knn_point(8, support, support)
     np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+
+
+def test_knn_resident_raised_rung_matches_oracle(rng, monkeypatch):
+    """The raised-VMEM resident rung (RESIDENT_MAX_N < N <=
+    RESIDENT_RAISED_MAX_N in _knn_scan, compiled with an explicit
+    vmem_limit_bytes) must stay oracle-exact. Forced small via the
+    threshold constants so the rung itself runs, not just its gate."""
+    from pointasnl_tpu.ops.pallas import knn as pknn
+
+    monkeypatch.setattr(pknn, "RESIDENT_MAX_N", 128)
+    monkeypatch.setattr(pknn, "VMEM_RAISE_THRESHOLD_BYTES", 0)
+    support = jnp.asarray(rng.randn(2, 700, 3).astype(np.float32))
+    query = jnp.asarray(rng.randn(2, 300, 3).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        got_d, got_i = pknn._knn_scan(8, support, query)
+    want_d, want_i = g.knn_point(8, support, query)
+    np.testing.assert_array_equal(np.asarray(got_i), np.asarray(want_i))
+    np.testing.assert_allclose(
+        np.asarray(got_d), np.asarray(want_d), rtol=1e-5, atol=1e-6
+    )
