@@ -128,13 +128,23 @@ def main(argv=None):
     if flags.sharded:
         if not flags.single_pass:
             raise ValueError("--sharded requires --single_pass")
-        if flags.model != "pointasnl_sem_seg_res":
+        if flags.model not in ("pointasnl_sem_seg_res", "pointasnl_sem_seg"):
             raise ValueError(
-                "--sharded supports --model pointasnl_sem_seg_res only "
-                "(parallel/whole_scene.py orchestrates that architecture)"
+                "--sharded supports --model pointasnl_sem_seg_res / "
+                "pointasnl_sem_seg only (parallel/whole_scene.py "
+                "orchestrates those architectures)"
             )
         from pointasnl_tpu.parallel import make_mesh, replicate
-        from pointasnl_tpu.parallel.whole_scene import predict_scene_sharded
+        from pointasnl_tpu.parallel.whole_scene import (
+            predict_scan_sharded,
+            predict_scene_sharded,
+        )
+
+        predict_fn = (
+            predict_scene_sharded
+            if flags.model == "pointasnl_sem_seg_res"
+            else predict_scan_sharded
+        )
 
         mesh = make_mesh()
         mesh_divisor = 256 * mesh.devices.size
@@ -147,7 +157,7 @@ def main(argv=None):
 
         @jax.jit
         def predict_sharded(variables, pts):
-            return predict_scene_sharded(
+            return predict_fn(
                 variables, pts, mesh,
                 num_class=flags.num_classes,
                 feature_channel=feature_channel,

@@ -14,6 +14,9 @@ script; the grid tester remaps, so both conventions are available here).
 (~120k points) through the model at once — memory-bounded NL attention
 (`--nl_block_size`) + the spatially-pruned kNN make this TPU-native path
 possible where the reference's dense attention map could not exist.
+`--single_pass --sharded` additionally shards the POINT axis over every
+local device (parallel/whole_scene.predict_scan_sharded: ring non-local
+attention, sharded kNN/FPS) for scans beyond one chip's memory.
 """
 
 from __future__ import annotations
@@ -72,6 +75,13 @@ def parse_args(argv=None):
         "devices (SPMD inference; requires batch_size divisible by device "
         "count for the sharded fast path)",
     )
+    p.add_argument(
+        "--sharded", action="store_true",
+        help="single-pass inference with the POINT axis sharded over all "
+        "local devices (parallel/whole_scene.py ring-attention path; "
+        "requires --single_pass). Mutually exclusive with --dp, which "
+        "shards the BATCH axis instead.",
+    )
     return p.parse_args(argv)
 
 
@@ -115,9 +125,46 @@ def main(argv=None):
     state = restore_checkpoint(state, flags.model_path, flags.ckpt)
     place = jnp.asarray
     if flags.dp:
+        if flags.sharded:
+            raise ValueError(
+                "--dp (batch-sharded) and --sharded (point-sharded) are "
+                "mutually exclusive"
+            )
         from pointasnl_tpu.parallel.mesh import setup_data_parallel_eval
 
         state, place = setup_data_parallel_eval(state, log)
+
+    mesh_divisor = 256
+    if flags.sharded:
+        if not flags.single_pass:
+            raise ValueError("--sharded requires --single_pass")
+        if flags.model != "pointasnl_sem_seg":
+            raise ValueError(
+                "--sharded supports --model pointasnl_sem_seg only "
+                "(parallel/whole_scene.py orchestrates that architecture)"
+            )
+        from pointasnl_tpu.parallel import make_mesh, replicate
+        from pointasnl_tpu.parallel.whole_scene import predict_scan_sharded
+
+        mesh = make_mesh()
+        mesh_divisor = 256 * mesh.devices.size
+        # the restored state lives on one device; the shard_map needs the
+        # variables addressable on every mesh device
+        variables = replicate(
+            {"params": state.params, "batch_stats": state.batch_stats}, mesh
+        )
+        nl_blk = nl_kwargs(flags)["nl_kv_block_size"]
+
+        @jax.jit
+        def predict_sharded(variables, pts):
+            return predict_scan_sharded(
+                variables, pts, mesh,
+                num_class=flags.num_classes,
+                feature_channel=feature_channel,
+                nl_kv_block_size=nl_blk,
+            )
+
+        log(f"sharded single-pass over {mesh.devices.size} devices")
     predict = make_predict_step()
     log("Model restored.")
 
@@ -145,7 +192,9 @@ def main(argv=None):
             pts_full, whole_scene_label = dataset.whole_scan(scan_idx)
             n = pts_full.shape[0]
             vote_label_pool = np.zeros((n, flags.num_classes))
-            quantum = max(256, flags.pad_quantum - flags.pad_quantum % 256)
+            quantum = max(
+                mesh_divisor, flags.pad_quantum - flags.pad_quantum % mesh_divisor
+            )
             for _ in range(flags.num_votes):
                 pidx = np.arange(n)
                 pts = pts_full
@@ -161,7 +210,10 @@ def main(argv=None):
                         pts[None, :, :3], random_state=rs
                     )[0]
                 scene_in = jnp.asarray(pts[None, :, : 3 + feature_channel])
-                logits = np.asarray(predict(state, scene_in))[0]
+                if flags.sharded:
+                    logits = np.asarray(predict_sharded(variables, scene_in))[0]
+                else:
+                    logits = np.asarray(predict(state, scene_in))[0]
                 pred_label = np.argmax(logits[:, 1:], 1) + 1
                 vote_label_pool = add_vote(
                     vote_label_pool, pidx[None], pred_label[None],

@@ -18,7 +18,10 @@ from pointasnl_tpu.parallel.sharded_knn import (
     knn_point_query_sharded,
     knn_point_sharded,
 )
-from pointasnl_tpu.parallel.whole_scene import predict_scene_sharded
+from pointasnl_tpu.parallel.whole_scene import (
+    predict_scan_sharded,
+    predict_scene_sharded,
+)
 
 __all__ = [
     "batch_sharding",
@@ -26,6 +29,7 @@ __all__ = [
     "knn_point_query_sharded",
     "knn_point_sharded",
     "make_mesh",
+    "predict_scan_sharded",
     "predict_scene_sharded",
     "replicate",
     "setup_data_parallel",

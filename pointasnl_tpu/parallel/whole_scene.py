@@ -1,8 +1,10 @@
-"""Point-sharded whole-scene inference for the residual seg model.
+"""Point-sharded whole-scene inference for both segmentation models.
 
 Single-chip single-pass inference tops out at the chip's memory (the
-spatial kNN kernel reaches N=2097152 with its two-level visit ordering). This runs `pointasnl_sem_seg_res`'s
-forward with the POINT axis sharded over a device mesh. Unlike the r2
+spatial kNN kernel reaches N=2097152 with its two-level visit ordering).
+`predict_scene_sharded` runs `pointasnl_sem_seg_res`'s forward and
+`predict_scan_sharded` runs `pointasnl_sem_seg`'s (the encoder-decoder
+variant, see its docstring) with the POINT axis sharded over a device mesh. Unlike the r2
 version (which all_gathered the stem output and kNN graph, so every device
 paid O(N) memory and the non-local K/V were fully replicated — the gap
 named by VERDICT r2 item 2), every O(N)-sized object now stays sharded:
@@ -54,10 +56,12 @@ from jax import lax
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
+from pointasnl_tpu import ops
 from pointasnl_tpu.nn.blockwise import ring_attention_local
 from pointasnl_tpu.nn.layers import PointConv
 from pointasnl_tpu.nn.pointasnl import (
     AdaptiveSampling,
+    PointASNLDecodingLayer,
     PointASNLSetAbstraction,
     WeightNetHidden,
 )
@@ -81,6 +85,46 @@ def _vars(variables, name):
     if bs:
         out["batch_stats"] = bs
     return out
+
+
+def _conv(variables, path, ch, *, act="relu", bn=True):
+    """Apply a named PointConv with its parameter subtree (eval mode)."""
+    activation = nn.relu if act == "relu" else (
+        nn.leaky_relu if act == "leaky" else None
+    )
+    mod = PointConv(ch, bn=bn, activation=activation)
+
+    def run(x):
+        return mod.apply(_vars(variables, path), x, training=False,
+                         bn_momentum=0.9)
+
+    return run
+
+
+def _sa_local_tail(variables, prefix, grouped_xyz, grouped_feat, new_xyz,
+                   mlp, nl):
+    """PointASNLSetAbstraction's per-query tail (nn/pointasnl.py:319-361)
+    on pre-gathered groups: normalize, skip, local convs, PointConv
+    aggregation, +skip +NL, final aggregation conv."""
+    conv = lambda path, ch, **kw: _conv(variables, path, ch, **kw)
+    gx = grouped_xyz - new_xyz[:, :, None, :]
+    new_point = jnp.concatenate([gx, grouped_feat], axis=-1)
+    skip = jnp.max(new_point, axis=2)
+    skip = conv(f"{prefix}/skip", mlp[-1])(skip)
+    for i, ch in enumerate(mlp[:-1]):
+        new_point = conv(f"{prefix}/conv{i}", ch)(new_point)
+    w = WeightNetHidden((32,)).apply(
+        _vars(variables, f"{prefix}/weight_net"), gx,
+        training=False, bn_momentum=0.9,
+    )
+    new_point = jnp.einsum("bmkc,bmkw->bmcw", new_point, w)
+    Bm, Mm, Cm, Wm = new_point.shape
+    new_point = new_point.reshape(Bm, Mm, Cm * Wm)
+    new_point = conv(f"{prefix}/after_conv", mlp[-1])(new_point)
+    new_point = new_point + skip
+    if nl is not None:
+        new_point = new_point + nl
+    return conv(f"{prefix}/aggregation", mlp[-1])(new_point)
 
 
 def _ring_take(sup_loc, idx, *, axis: str, axis_size: int, shard_n: int):
@@ -166,41 +210,12 @@ def predict_scene_sharded(
         return mod.apply(_vars(variables, name), *args, training=False,
                          bn_momentum=0.9, **kw)
 
-    def conv(path, ch, *, act="relu", bn=True):
-        """Apply a named PointConv with its parameter subtree."""
-        activation = nn.relu if act == "relu" else (
-            nn.leaky_relu if act == "leaky" else None
-        )
-        mod = PointConv(ch, bn=bn, activation=activation)
-
-        def run(x):
-            return mod.apply(_vars(variables, path), x, training=False,
-                             bn_momentum=0.9)
-
-        return run
+    def conv(path, ch, **kw):
+        return _conv(variables, path, ch, **kw)
 
     def sa_local_tail(prefix, grouped_xyz, grouped_feat, new_xyz, mlp, nl):
-        """PointASNLSetAbstraction's per-query tail (nn/pointasnl.py:319-361)
-        on pre-gathered groups: normalize, skip, local convs, PointConv
-        aggregation, +skip +NL, final aggregation conv."""
-        gx = grouped_xyz - new_xyz[:, :, None, :]
-        new_point = jnp.concatenate([gx, grouped_feat], axis=-1)
-        skip = jnp.max(new_point, axis=2)
-        skip = conv(f"{prefix}/skip", mlp[-1])(skip)
-        for i, ch in enumerate(mlp[:-1]):
-            new_point = conv(f"{prefix}/conv{i}", ch)(new_point)
-        w = WeightNetHidden((32,)).apply(
-            _vars(variables, f"{prefix}/weight_net"), gx,
-            training=False, bn_momentum=0.9,
-        )
-        new_point = jnp.einsum("bmkc,bmkw->bmcw", new_point, w)
-        Bm, Mm, Cm, Wm = new_point.shape
-        new_point = new_point.reshape(Bm, Mm, Cm * Wm)
-        new_point = conv(f"{prefix}/after_conv", mlp[-1])(new_point)
-        new_point = new_point + skip
-        if nl is not None:
-            new_point = new_point + nl
-        return conv(f"{prefix}/aggregation", mlp[-1])(new_point)
+        return _sa_local_tail(variables, prefix, grouped_xyz, grouped_feat,
+                              new_xyz, mlp, nl)
 
     def body(x_loc, knn0_loc, fps1):
         sid = lax.axis_index(axis)
@@ -291,6 +306,188 @@ def predict_scene_sharded(
         net = conv("fc1", 128, act="leaky")(l0_out)
         # dropout ('dp') is identity at inference and holds no parameters
         logits = conv("fc0", num_class, act=None, bn=False)(net)
+        return logits
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, axis, None), P(None, axis, None), P()),
+        out_specs=P(None, axis, None),
+        check_vma=False,
+    )
+    return fn(points, knn0_idx, fps1_idx)
+
+
+def predict_scan_sharded(
+    variables,
+    points: jax.Array,
+    mesh: Mesh,
+    *,
+    num_class: int = 21,
+    feature_channel: int = 0,
+    nl_kv_block_size: Optional[int] = 4096,
+    axis: str = "data",
+) -> jax.Array:
+    """Eval-mode `pointasnl_sem_seg` logits, point-sharded over `axis`.
+
+    The encoder-decoder variant's whole-scan analog of
+    `predict_scene_sharded` (which orchestrates the residual model): used by
+    `test_semantic_kitti --single_pass --sharded` for full LiDAR scans and by
+    `test_scannet` when its (default) model is `pointasnl_sem_seg`.
+
+    The O(N) levels — layer1's SA over the full input (the reference's
+    quadratic object, utils/pointasnl_util.py:199 + the kNN it farmed to
+    nanoflann, utils/nearest_neighbors/knn_.cxx:104-135) and fa_layer4's
+    decode back to every input point (models/pointasnl_sem_seg.py:41-44) —
+    run sharded:
+
+      1. the self-kNN graph (k=32) comes from the query-sharded kernel and
+         FPS from the sharded iterative scheme (parallel/sharded_knn.py);
+      2. layer1 is QUERY-SHARDED: each device owns N/(8*D) sampled points,
+         gathers their neighbor groups from the sharded input via
+         `_ring_take`, and runs the non-local cell with ring attention —
+         K/V stay sharded on the point axis;
+      3. levels 2-4 and decode fa_layers 1-3 run replicated from the
+         all_gathered (B, N/8, 64) level-1 output (N/32 and below);
+      4. fa_layer4 runs on the local shard: 3-NN interpolation from the
+         replicated (small) l1 set, then its kNN point-local conv over the
+         SHARDED interpolated features — neighbor rows are the first 16
+         columns of the k=32 graph (exact: both searches sort ascending
+         with index-stable ties), fetched with `_ring_take`.
+
+    Per-device memory: every per-input-point tensor (input, kNN graph,
+    interpolated decode features, logits) is O(N/D); the replicated tail
+    starts at level 1's output (~(64+3)*4/8 = 34 B/pt, as in the residual
+    orchestration).
+
+    Args:
+      variables: {'params', 'batch_stats'} of a trained PointASNLSemSeg.
+      points: (B, N, 3 + feature_channel); N divisible by 256 * mesh size.
+      mesh: the device mesh; `axis` names the point-sharding axis.
+      nl_kv_block_size: chunks the REPLICATED levels' (2-4) non-local K/V
+        (memory-bounded attention); None uses dense maps there. Layer 1's
+        non-local cell always runs ring attention over the sharded axis.
+
+    Returns:
+      (B, N, num_class) logits, sharded on the point axis.
+    """
+    B, N, _ = points.shape
+    D = mesh.shape[axis]
+    if N % (256 * D):
+        raise ValueError(
+            f"predict_scan_sharded: N={N} must divide by 256 * {D} "
+            "(deepest encoder stride x mesh axis)"
+        )
+    shard_n = N // D
+    nps = [N // 8, N // 32, N // 128, N // 256]
+    qn1 = nps[0] // D  # layer-1 queries per device
+    xyz = points[..., :3]
+
+    def sa(npoint, mlp, as_n):
+        return PointASNLSetAbstraction(
+            npoint=npoint, nsample=32, mlp=mlp, as_neighbor=as_n,
+            nl_kv_block_size=nl_kv_block_size,
+        )
+
+    # Sharded geometry plan (collective ops outside the main shard_map).
+    _, knn0_idx = knn_point_query_sharded(32, xyz, xyz, mesh, axis=axis)
+    fps1_idx = farthest_point_sample_sharded(nps[0], xyz, mesh, axis=axis)
+
+    def apply(mod, name, *args, **kw):
+        return mod.apply(_vars(variables, name), *args, training=False,
+                         bn_momentum=0.9, **kw)
+
+    def conv(path, ch, **kw):
+        return _conv(variables, path, ch, **kw)
+
+    def body(x_loc, knn0_loc, fps1):
+        sid = lax.axis_index(axis)
+        sh_xyz = x_loc[..., :3]
+        # models/sem_seg.py:40-45 — xyz doubles as the feature when the
+        # input carries no extra channels.
+        sh_feat = x_loc[..., 3:] if feature_channel > 0 else sh_xyz
+        C = sh_feat.shape[-1]
+
+        def take(sup_loc, idx):
+            return _ring_take(sup_loc, idx, axis=axis, axis_size=D,
+                              shard_n=shard_n)
+
+        # ---- layer 1: QUERY-SHARDED SA over the full input ----
+        fps_loc = lax.dynamic_slice_in_dim(fps1, sid * qn1, qn1, 1)  # (B, qn1)
+        sup = jnp.concatenate([sh_xyz, sh_feat], axis=-1)  # (B, shard_n, 3+C)
+        l1_knn_loc = take(knn0_loc, fps_loc[..., None])[:, :, 0, :]  # (B, qn1, 32)
+        g1 = take(sup, l1_knn_loc)  # (B, qn1, 32, 3 + C)
+        g1_xyz = g1[..., :3]
+
+        # AS shift (as_neighbor=8), then ring non-local + the local tail.
+        l1_xyz_loc, l1_feat = AdaptiveSampling(8, bn=True).apply(
+            _vars(variables, "layer1/adaptive_sampling"),
+            g1_xyz, g1, training=False, bn_momentum=0.9,
+        )  # (B, qn1, 3), (B, qn1, 3 + C)
+        # PointNonLocalCell with sharded K/V: the 1x1 K/V projection is
+        # positionwise (running BN stats at eval), so applying it to the
+        # LOCAL input shard is exact; the softmax runs as a ring.
+        bottleneck = max(32, C // 2)
+        kv = conv("layer1/nonlocal/conv_kv", 2 * bottleneck, act=None)(sh_feat)
+        q1 = conv("layer1/nonlocal/conv_query", bottleneck, act=None)(l1_feat)
+        nl_out = ring_attention_local(
+            q1, kv[..., :bottleneck], kv[..., bottleneck:],
+            axis=axis, axis_size=D, scaled=True,
+        )
+        nl_out = conv("layer1/nonlocal/conv_back_project", 64)(nl_out)
+        l1_loc = _sa_local_tail(
+            variables, "layer1", g1_xyz, g1, l1_xyz_loc, (32, 32, 64), nl_out
+        )
+
+        # levels 2-4 + decode to fa_layer3: replicated (N/32 and below);
+        # one all_gather of the level-1 OUTPUT only (~34 B/pt).
+        l1_xyz = lax.all_gather(l1_xyz_loc, axis, axis=1, tiled=True)
+        l1_points = lax.all_gather(l1_loc, axis, axis=1, tiled=True)
+
+        l2_xyz, l2_points = apply(sa(nps[1], (64, 64, 128), 4), "layer2",
+                                  l1_xyz, l1_points)
+        l3_xyz, l3_points = apply(sa(nps[2], (128, 128, 256), 0), "layer3",
+                                  l2_xyz, l2_points)
+        l4_xyz, l4_points = apply(sa(nps[3], (256, 256, 512), 0), "layer4",
+                                  l3_xyz, l3_points)
+
+        l3_points = apply(PointASNLDecodingLayer(nsample=16, mlp=(512, 512)),
+                          "fa_layer1", l3_xyz, l4_xyz, l3_points, l4_points)
+        l2_points = apply(PointASNLDecodingLayer(nsample=16, mlp=(256, 256)),
+                          "fa_layer2", l2_xyz, l3_xyz, l2_points, l3_points)
+        l1_pts = apply(PointASNLDecodingLayer(nsample=16, mlp=(256, 128)),
+                       "fa_layer3", l1_xyz, l2_xyz, l1_points, l2_points)
+
+        # ---- fa_layer4 on the local shard (nn/pointasnl.py:383-441) ----
+        # 3-NN interpolation from the replicated l1 set is per-query;
+        # the kNN point-local conv groups over the SHARDED interpolated
+        # features with the k=32 graph's first 16 columns (exact prefix:
+        # both searches sort ascending with index-stable ties).
+        dist2, idx3 = ops.three_nn(sh_xyz, l1_xyz)
+        dist2 = jnp.maximum(dist2, 1e-10)
+        inv = 1.0 / dist2
+        w3 = inv / jnp.sum(inv, axis=2, keepdims=True)
+        interp_loc = ops.three_interpolate(l1_pts, idx3, w3)  # (B, shard_n, 128)
+
+        idx16 = knn0_loc[..., :16]
+        g4 = take(jnp.concatenate([sh_xyz, interp_loc], axis=-1), idx16)
+        g4_xyz = g4[..., :3] - sh_xyz[:, :, None, :]
+        wk = WeightNetHidden((32,)).apply(
+            _vars(variables, "fa_layer4/decode_weight_net"), g4_xyz,
+            training=False, bn_momentum=0.9,
+        )
+        newp = jnp.einsum("bnkc,bnkw->bncw", g4, wk)
+        Bn, Nn, Cn, Wn = newp.shape
+        newp = newp.reshape(Bn, Nn, Cn * Wn)
+        newp = conv("fa_layer4/decode_after_conv", 128)(newp)
+        # skip concat with points1 = the raw l0 features (sharded input)
+        newp = jnp.concatenate([newp, sh_feat], axis=-1)
+        newp = conv("fa_layer4/conv_1", 128)(newp)
+        newp = conv("fa_layer4/conv_2", 128)(newp)
+
+        net = conv("fc1", 128)(newp)
+        # dropout ('dp1') is identity at inference and holds no parameters
+        logits = conv("fc2", num_class, act=None, bn=False)(net)
         return logits
 
     fn = shard_map(

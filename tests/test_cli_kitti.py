@@ -98,3 +98,31 @@ def test_train_and_test_kitti_cli(synthetic_kitti, tmp_path):
     out_sp = np.fromfile(sp_files[0], dtype=np.uint32)
     assert out_sp.shape[0] == 4000
     assert out_sp.max() < 20  # learning-ids (no --remap_inv)
+
+    # point-sharded whole-scan single-pass over the 8-device mesh
+    # (parallel/whole_scene.predict_scan_sharded behind --sharded): 4000-pt
+    # scan dup-padded to 4096 = a multiple of 256 * 8 devices
+    miou_shard = test_semantic_kitti.main(
+        [
+            "--data", synthetic_kitti,
+            "--model_path", log_dir,
+            "--ckpt", "latest",
+            "--dump_dir", str(tmp_path / "dump_shard"),
+            "--save_dir", str(tmp_path / "pred_shard"),
+            "--batch_size", "2",
+            "--num_point", "512",
+            "--num_votes", "1",
+            "--with_remission",
+            "--max_scans", "1",
+            "--single_pass",
+            "--sharded",
+            "--pad_quantum", "2048",
+            "--nl_block_size", "512",
+        ]
+    )
+    assert 0.0 <= miou_shard <= 1.0
+    shard_files = list(
+        (tmp_path / "pred_shard" / "sequences" / "08" / "predictions").glob("*.label")
+    )
+    assert len(shard_files) == 1
+    assert np.fromfile(shard_files[0], dtype=np.uint32).shape[0] == 4000

@@ -65,3 +65,38 @@ def test_sharded_scene_rejects_bad_n(rng):
     x = jnp.zeros((1, 1000, 3), jnp.float32)
     with pytest.raises(ValueError, match="divide"):
         predict_scene_sharded({"params": {}}, x, mesh)
+
+
+@pytest.mark.parametrize("feature_channel", [0, 1], ids=["xyz", "remission"])
+def test_sharded_scan_matches_model(rng, feature_channel):
+    """predict_scan_sharded (the encoder-decoder pointasnl_sem_seg) vs the
+    monolithic model on the 8-device mesh."""
+    from pointasnl_tpu.models import PointASNLSemSeg
+    from pointasnl_tpu.parallel.whole_scene import predict_scan_sharded
+
+    mesh = make_mesh()
+    B, N, C = 1, 2048, 5  # N divisible by 256 * 8
+    x = jnp.asarray(rng.randn(B, N, 3 + feature_channel).astype(np.float32))
+    model = PointASNLSemSeg(num_class=C, feature_channel=feature_channel)
+    variables = _init(model, x)
+
+    want, _ = model.apply(variables, x, training=False, bn_momentum=0.9)
+    got = predict_scan_sharded(
+        variables, x, mesh, num_class=C, feature_channel=feature_channel,
+        nl_kv_block_size=None,  # dense NL at the replicated levels 2-4
+    )
+    assert got.shape == (B, N, C)
+    # layer1's non-local cell runs as RING attention over the sharded point
+    # axis — same tolerance rationale as test_sharded_scene_matches_model.
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-3, atol=5e-3
+    )
+
+
+def test_sharded_scan_rejects_bad_n(rng):
+    from pointasnl_tpu.parallel.whole_scene import predict_scan_sharded
+
+    mesh = make_mesh()
+    x = jnp.zeros((1, 1000, 3), jnp.float32)
+    with pytest.raises(ValueError, match="divide"):
+        predict_scan_sharded({"params": {}}, x, mesh)
