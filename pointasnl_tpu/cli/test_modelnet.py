@@ -13,6 +13,7 @@ vote diversity the protocol intends.
 from __future__ import annotations
 
 import argparse
+import os
 
 import numpy as np
 
@@ -42,11 +43,16 @@ def parse_args(argv=None):
         "(SPMD inference; requires batch_size divisible by device count "
         "for the sharded fast path)",
     )
+    p.add_argument(
+        "--profile", action="store_true",
+        help="trace the first voting forwards into <log_dir>/profile "
+        "(view with Perfetto/TensorBoard)",
+    )
     return p.parse_args(argv)
 
 
 def evaluate_once(state, predict, dataset, flags, rs, num_noisy_points=0,
-                  log=print, place=None):
+                  log=print, place=None, tracer=None):
     import jax.numpy as jnp
 
     from pointasnl_tpu.data import provider
@@ -72,7 +78,11 @@ def evaluate_once(state, predict, dataset, flags, rs, num_noisy_points=0,
         for _ in range(flags.num_votes):
             shuffled = np.arange(flags.num_point)
             rs.shuffle(shuffled)
+            if tracer is not None:
+                tracer.before()
             logits = predict(state, place(batch_data[:, shuffled, :], jnp.float32))
+            if tracer is not None:
+                tracer.after(logits)
             pred_sum += np.asarray(logits)
         preds = np.argmax(pred_sum, 1)[:bsize]
         labels = batch_label[:bsize]
@@ -132,10 +142,18 @@ def main(argv=None):
         state, place = setup_data_parallel_eval(state, log)
     predict = make_predict_step()
 
-    log("*** Evaluation ***")
-    acc, class_accs = evaluate_once(
-        state, predict, dataset, flags, rs, log=log, place=place
+    from pointasnl_tpu.train.profiling import StepTraceWindow
+
+    tracer = StepTraceWindow(
+        os.path.join(flags.log_dir, "profile"), enabled=flags.profile, log=log
     )
+    log("*** Evaluation ***")
+    try:
+        acc, class_accs = evaluate_once(
+            state, predict, dataset, flags, rs, log=log, place=place, tracer=tracer
+        )
+    finally:
+        tracer.close()
     for i, name in enumerate(dataset.cat):
         log(f"{name:>12s}:\t{class_accs[i]:.3f}")
 

@@ -46,6 +46,11 @@ def parse_args(argv=None):
     p.add_argument("--num_classes", type=int, default=21)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_scenes", type=int, default=0, help="0 = all (debug aid)")
+    p.add_argument(
+        "--profile", action="store_true",
+        help="trace the first inference dispatches into <dump_dir>/profile "
+        "(view with Perfetto/TensorBoard)",
+    )
     add_nl_args(p)
     p.add_argument(
         "--single_pass", type=str2bool, default=False,
@@ -173,6 +178,11 @@ def main(argv=None):
     else:
         scene_ids = [f"scene{i:04d}" for i in range(len(dataset))]
 
+    from pointasnl_tpu.train.profiling import StepTraceWindow
+
+    tracer = StepTraceWindow(
+        os.path.join(dump_dir, "profile"), enabled=flags.profile, log=log
+    )
     total = SegEvalAccumulator(flags.num_classes)
     n_scenes = len(dataset) if flags.max_scenes == 0 else min(flags.max_scenes, len(dataset))
     for scene_idx in range(n_scenes):
@@ -201,9 +211,11 @@ def main(argv=None):
                 pts, smpw, pidx = pts[order], smpw[order], pidx[order]
                 scene_in = jnp.asarray(pts[None, :, : 3 + feature_channel])
                 if flags.sharded:
-                    logits = np.asarray(predict_sharded(variables, scene_in))[0]
+                    logits = np.asarray(
+                        tracer.traced(lambda: predict_sharded(variables, scene_in))
+                    )[0]
                 else:
-                    logits = np.asarray(predict(state, scene_in))[0]
+                    logits = np.asarray(tracer.traced(lambda: predict(state, scene_in)))[0]
                 pred_label = np.argmax(logits[:, 1:], 1) + 1
                 vote_label_pool = add_vote(
                     vote_label_pool, pidx[None], pred_label[None], smpw[None]
@@ -228,7 +240,9 @@ def main(argv=None):
                 batch_index[:real] = scene_point_index[start:end]
                 batch_smpw[:real] = scene_smpw[start:end]
 
-                logits = np.asarray(predict(state, place(batch_data)))
+                logits = np.asarray(
+                    tracer.traced(lambda: predict(state, place(batch_data)))
+                )
                 # argmax over classes 1: then +1 (never predict unannotated)
                 pred_label = np.argmax(logits[:, :, 1:], 2) + 1
                 vote_label_pool = add_vote(

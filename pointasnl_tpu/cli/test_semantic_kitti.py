@@ -56,6 +56,11 @@ def parse_args(argv=None):
     p.add_argument("--remap_inv", action="store_true", help="write raw label ids")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--max_scans", type=int, default=0, help="0 = all")
+    p.add_argument(
+        "--profile", action="store_true",
+        help="trace the first inference dispatches into <dump_dir>/profile "
+        "(view with Perfetto/TensorBoard)",
+    )
     add_nl_args(p)
     p.add_argument(
         "--single_pass", action="store_true",
@@ -172,6 +177,11 @@ def main(argv=None):
     for k, v in LEARNING_MAP_INV.items():
         inv_lut[k] = v
 
+    from pointasnl_tpu.train.profiling import StepTraceWindow
+
+    tracer = StepTraceWindow(
+        os.path.join(flags.dump_dir, "profile"), enabled=flags.profile, log=log
+    )
     total = SegEvalAccumulator(flags.num_classes)
     n_scans = len(dataset) if flags.max_scans == 0 else min(flags.max_scans, len(dataset))
     for scan_idx in range(n_scans):
@@ -211,9 +221,11 @@ def main(argv=None):
                     )[0]
                 scene_in = jnp.asarray(pts[None, :, : 3 + feature_channel])
                 if flags.sharded:
-                    logits = np.asarray(predict_sharded(variables, scene_in))[0]
+                    logits = np.asarray(
+                        tracer.traced(lambda: predict_sharded(variables, scene_in))
+                    )[0]
                 else:
-                    logits = np.asarray(predict(state, scene_in))[0]
+                    logits = np.asarray(tracer.traced(lambda: predict(state, scene_in)))[0]
                 pred_label = np.argmax(logits[:, 1:], 1) + 1
                 vote_label_pool = add_vote(
                     vote_label_pool, pidx[None], pred_label[None],
@@ -246,7 +258,9 @@ def main(argv=None):
                     batch_data[:, :, :3] = provider.rotate_point_cloud_z(
                         batch_data[:, :, :3], random_state=rs
                     )
-                logits = np.asarray(predict(state, place(batch_data)))
+                logits = np.asarray(
+                    tracer.traced(lambda: predict(state, place(batch_data)))
+                )
                 pred_label = np.argmax(logits[:, :, 1:], 2) + 1
                 vote_label_pool = add_vote(
                     vote_label_pool,

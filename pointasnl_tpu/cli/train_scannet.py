@@ -11,6 +11,7 @@ each epoch + best on whole-scene mIoU.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -59,6 +60,11 @@ def parse_args(argv=None):
     )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug", action="store_true")
+    p.add_argument(
+        "--profile", action="store_true",
+        help="trace the first train steps of epoch 0 into <log_dir>/profile "
+        "(view with Perfetto/TensorBoard)",
+    )
     return p.parse_args(argv)
 
 
@@ -183,20 +189,32 @@ def main(argv=None):
                 yield batch_data, batch_label, batch_smpw
 
         from pointasnl_tpu.data.grid_pipeline import Prefetcher
+        from pointasnl_tpu.train.profiling import StepTraceWindow
 
-        for batch_data, batch_label, batch_smpw in Prefetcher(train_batches(), capacity=4):
-            state, metrics = train_step(
-                state,
-                {
-                    "points": place(batch_data, jnp.float32),
-                    "labels": place(batch_label),
-                    "smpw": place(batch_smpw),
-                },
-                dropout_rng,
-            )
-            # on-device accumulation: a host fetch per step costs ~35 ms
-            # through the tunneled runtime (BENCH_OPS.md)
-            loss_sum = loss_sum + metrics["loss"]
+        tracer = StepTraceWindow(
+            os.path.join(flags.log_dir, "profile"),
+            enabled=flags.profile and epoch == 0, log=log,
+        )
+        try:
+            for batch_data, batch_label, batch_smpw in Prefetcher(
+                train_batches(), capacity=4
+            ):
+                tracer.before()
+                state, metrics = train_step(
+                    state,
+                    {
+                        "points": place(batch_data, jnp.float32),
+                        "labels": place(batch_label),
+                        "smpw": place(batch_smpw),
+                    },
+                    dropout_rng,
+                )
+                tracer.after(state.params)
+                # on-device accumulation: a host fetch per step costs ~35 ms
+                # through the tunneled runtime (BENCH_OPS.md)
+                loss_sum = loss_sum + metrics["loss"]
+        finally:
+            tracer.close(state.params)
         log(
             f"train loss {loss_sum / max(num_batches, 1):.4f} "
             f"({time.time() - t0:.1f}s, lr {float(lr_sched(state.step)):.6f})"

@@ -10,6 +10,7 @@ block-tiled whole-scan eval, latest/best checkpoints.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -58,6 +59,11 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_epoch", type=int, default=0, help="0 = full dataset")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--debug", action="store_true")
+    p.add_argument(
+        "--profile", action="store_true",
+        help="trace the first train steps of epoch 0 into <log_dir>/profile "
+        "(view with Perfetto/TensorBoard)",
+    )
     return p.parse_args(argv)
 
 
@@ -169,20 +175,30 @@ def main(argv=None):
                 yield bd, bl, bw
 
         from pointasnl_tpu.data.grid_pipeline import Prefetcher
+        from pointasnl_tpu.train.profiling import StepTraceWindow
 
-        for bd, bl, bw in Prefetcher(train_batches(), capacity=4):
-            state, metrics = train_step(
-                state,
-                {
-                    "points": place(bd, jnp.float32),
-                    "labels": place(bl),
-                    "smpw": place(bw),
-                },
-                dropout_rng,
-            )
-            # on-device accumulation: a host fetch per step costs ~35 ms
-            # through the tunneled runtime (BENCH_OPS.md)
-            loss_sum = loss_sum + metrics["loss"]
+        tracer = StepTraceWindow(
+            os.path.join(flags.log_dir, "profile"),
+            enabled=flags.profile and epoch == 0, log=log,
+        )
+        try:
+            for bd, bl, bw in Prefetcher(train_batches(), capacity=4):
+                tracer.before()
+                state, metrics = train_step(
+                    state,
+                    {
+                        "points": place(bd, jnp.float32),
+                        "labels": place(bl),
+                        "smpw": place(bw),
+                    },
+                    dropout_rng,
+                )
+                tracer.after(state.params)
+                # on-device accumulation: a host fetch per step costs ~35 ms
+                # through the tunneled runtime (BENCH_OPS.md)
+                loss_sum = loss_sum + metrics["loss"]
+        finally:
+            tracer.close(state.params)
         log(
             f"train loss {loss_sum / max(num_batches, 1):.4f} "
             f"({time.time() - t0:.1f}s, lr {float(lr_sched(state.step)):.6f})"

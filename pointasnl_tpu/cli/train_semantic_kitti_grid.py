@@ -11,6 +11,7 @@ repulsion, per-epoch confusion-matrix mIoU over the validation crops
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
@@ -49,6 +50,11 @@ def parse_args(argv=None):
     p.add_argument("--eval_steps", type=int, default=0, help="0 = full validation")
     p.add_argument("--debug", action="store_true")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument(
+        "--profile", action="store_true",
+        help="trace the first train steps of the starting epoch into "
+        "<log_dir>/profile (view with Perfetto/TensorBoard)",
+    )
     return p.parse_args(argv)
 
 
@@ -99,6 +105,7 @@ def main(argv=None):
         checkpoint_exists,
         restore_checkpoint,
     )
+    from pointasnl_tpu.train.profiling import StepTraceWindow
     from pointasnl_tpu.train.state import make_optimizer
     from pointasnl_tpu.train.steps import make_predict_step
     from pointasnl_tpu.utils import Logger, save_args, snapshot_sources
@@ -157,22 +164,31 @@ def main(argv=None):
         t0 = time.time()
         loss_sum = 0.0
         nsteps = 0
-        for batch in Prefetcher(dataset.batches("training", cfg), capacity=8):
-            state, metrics = train_step(
-                state,
-                {
-                    "points": place(batch["points"]),
-                    "labels": place(batch["labels"]),
-                    "smpw": place(batch["label_weights"]),
-                },
-                dropout_rng,
-            )
-            # on-device accumulation: a host fetch per step costs ~35 ms
-            # through the tunneled runtime (BENCH_OPS.md)
-            loss_sum = loss_sum + metrics["loss"]
-            nsteps += 1
-            if nsteps >= max_steps:
-                break
+        tracer = StepTraceWindow(
+            os.path.join(flags.log_dir, "profile"),
+            enabled=flags.profile and epoch == flags.from_epoch, log=log,
+        )
+        try:
+            for batch in Prefetcher(dataset.batches("training", cfg), capacity=8):
+                tracer.before()
+                state, metrics = train_step(
+                    state,
+                    {
+                        "points": place(batch["points"]),
+                        "labels": place(batch["labels"]),
+                        "smpw": place(batch["label_weights"]),
+                    },
+                    dropout_rng,
+                )
+                tracer.after(state.params)
+                # on-device accumulation: a host fetch per step costs ~35 ms
+                # through the tunneled runtime (BENCH_OPS.md)
+                loss_sum = loss_sum + metrics["loss"]
+                nsteps += 1
+                if nsteps >= max_steps:
+                    break
+        finally:
+            tracer.close(state.params)
         log(
             f"train loss {loss_sum / max(nsteps, 1):.4f} "
             f"({time.time() - t0:.1f}s, lr {float(lr_sched(state.step)):.6f})"

@@ -78,3 +78,61 @@ class StepTimer:
         if self.points_per_step:
             msg += f" ({self.points_per_step / self.avg / 1e6:.2f} M points/sec)"
         return msg
+
+
+class StepTraceWindow:
+    """`--profile` support shared by every CLI driver: capture the first
+    `steps` dispatches of a loop into `logdir`.
+
+    Usage inside the loop body: `win.before()` ahead of the dispatch,
+    `win.after(sync_obj)` past it; `win.close(sync_obj)` in a `finally`
+    block so an interrupted window still ends the trace (jax.profiler
+    crashes on process exit with an open trace). All methods are no-ops
+    unless `enabled`, so call sites need no flag checks.
+    """
+
+    def __init__(self, logdir: str, enabled: bool, steps: int = 3, log=print):
+        self.logdir = logdir
+        self.enabled = enabled
+        self.steps = steps
+        self.log = log
+        self._seen = 0
+        self._tracing = False
+
+    def before(self) -> None:
+        if self.enabled and self._seen == 0 and not self._tracing:
+            start_trace(self.logdir)
+            self._tracing = True
+
+    def after(self, sync_obj=None) -> None:
+        if not self.enabled:
+            return
+        self._seen += 1
+        if self._tracing and self._seen >= self.steps:
+            self._finish(sync_obj)
+
+    def close(self, sync_obj=None) -> None:
+        if self._tracing:
+            self._finish(sync_obj)
+
+    def traced(self, thunk):
+        """Run one dispatch inside the window: `before()`/thunk/`after()`,
+        ending the trace if the dispatch itself raises. For call sites where
+        a loop-level try/finally would be intrusive."""
+        self.before()
+        try:
+            result = thunk()
+        except BaseException:
+            if self._tracing:
+                stop_trace()
+                self._tracing = False
+            raise
+        self.after(result)
+        return result
+
+    def _finish(self, sync_obj) -> None:
+        if sync_obj is not None:
+            jax.block_until_ready(sync_obj)
+        stop_trace()
+        self._tracing = False
+        self.log(f"profile trace written to {self.logdir}")

@@ -1,5 +1,7 @@
 """Aux subsystem tests: pc_util, host kNN helpers, JaxIouEval, profiling, ply."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -79,6 +81,44 @@ def test_step_timer():
             pass
     assert t.steps == 3
     assert "avg step" in t.summary()
+
+
+def test_step_trace_window(tmp_path):
+    """StepTraceWindow: traces exactly the first `steps` dispatches, writes an
+    artifact, no-ops when disabled, and ends the trace if a dispatch raises."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointasnl_tpu.train.profiling import StepTraceWindow
+
+    f = jax.jit(lambda x: x * 2)
+
+    # disabled: nothing written, all methods no-op
+    off = StepTraceWindow(str(tmp_path / "off"), enabled=False, log=lambda *_: None)
+    off.traced(lambda: f(jnp.ones(8)))
+    off.close()
+    assert not (tmp_path / "off").exists()
+
+    # enabled: window over the first 2 of 4 dispatches, artifact on disk
+    msgs = []
+    win = StepTraceWindow(str(tmp_path / "on"), enabled=True, steps=2, log=msgs.append)
+    for _ in range(4):
+        win.traced(lambda: f(jnp.ones(8)))
+    win.close()
+    assert len(msgs) == 1  # closed exactly once, by after(), not close()
+    files = [fn for _, _, fs in os.walk(tmp_path / "on") for fn in fs]
+    assert files, "no trace artifact written"
+
+    # a raising dispatch ends the trace instead of leaking it open
+    boom = StepTraceWindow(str(tmp_path / "err"), enabled=True, log=lambda *_: None)
+    with pytest.raises(RuntimeError):
+        boom.traced(lambda: (_ for _ in ()).throw(RuntimeError("dispatch failed")))
+    assert not boom._tracing
+    # the profiler accepts a fresh trace afterwards (state was cleaned up)
+    again = StepTraceWindow(str(tmp_path / "again"), enabled=True, steps=1,
+                            log=lambda *_: None)
+    again.traced(lambda: f(jnp.ones(8)))
+    again.close()
 
 
 def test_ply_roundtrip(tmp_path, rng):

@@ -36,6 +36,12 @@ def synthetic_scannet(tmp_path_factory):
     return str(root)
 
 
+def _has_trace_artifact(profile_dir):
+    return os.path.isdir(profile_dir) and any(
+        f for _, _, fs in os.walk(profile_dir) for f in fs
+    )
+
+
 def test_train_and_test_scannet_cli(synthetic_scannet, tmp_path):
     from pointasnl_tpu.cli import test_scannet, train_scannet
 
@@ -48,10 +54,13 @@ def test_train_and_test_scannet_cli(synthetic_scannet, tmp_path):
             "--num_point", "512",
             "--whole_eval_start", "0",
             "--debug",
+            "--profile",
         ]
     )
     assert 0.0 <= best_iou <= 1.0
     assert os.path.isdir(os.path.join(log_dir, "latest"))
+    # --profile wrote a trace artifact (uniform across all 10 drivers)
+    assert _has_trace_artifact(os.path.join(log_dir, "profile"))
 
     miou = test_scannet.main(
         [
@@ -63,9 +72,14 @@ def test_train_and_test_scannet_cli(synthetic_scannet, tmp_path):
             "--num_point", "512",
             "--num_votes", "1",
             "--max_scenes", "1",
+            "--profile",
         ]
     )
     assert 0.0 <= miou <= 1.0
+    import glob
+
+    dumps = glob.glob(str(tmp_path / "dump" / "*" / "profile"))
+    assert dumps and _has_trace_artifact(dumps[0])
 
 
 def test_scannet_single_pass_sharded(synthetic_scannet, tmp_path):
