@@ -34,6 +34,8 @@ XLA's default f32 matmul path on TPU also runs through bf16 MXU passes.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -78,6 +80,11 @@ def bench_one(name: str, task: str, batch_size: int, num_point: int, dtype: str,
     )
     from pointasnl_tpu.train.state import make_optimizer
 
+    # Progress to stderr: on a cold host every entry recompiles through the
+    # remote compile service (30-120 s each), so a silent 30-minute run is
+    # indistinguishable from a hang without this.
+    print(f"# bench_one {name} {dtype} B={batch_size} N={num_point} ...",
+          file=sys.stderr, flush=True)
     rng = np.random.RandomState(0)
     points = jnp.asarray(rng.randn(batch_size, num_point, 3).astype(np.float32))
     if task == "cls":
@@ -125,6 +132,8 @@ def bench_one(name: str, task: str, batch_size: int, num_point: int, dtype: str,
         dt = (time.perf_counter() - t0) / n_iters
 
     peak = PEAK_FLOPS_BF16.get(jax.devices()[0].device_kind)
+    print(f"# bench_one {name} {dtype}: {dt * 1e3:.2f} ms/step",
+          file=sys.stderr, flush=True)
     return {
         "config": name,
         "dtype": dtype,
@@ -151,6 +160,7 @@ def bench_whole_scene(n: int = 131072, block: int = 4096,
     from pointasnl_tpu.data.synthetic import surface_scene
     from pointasnl_tpu.models import PointASNLSemSegRes
 
+    print(f"# bench_whole_scene N={n} ...", file=sys.stderr, flush=True)
     try:
         rng = np.random.RandomState(0)
         n = n - n % 256
@@ -186,14 +196,26 @@ def bench_whole_scene(n: int = 131072, block: int = 4096,
             "forward_ms": round(dt * 1e3, 1),
         }
     except Exception as e:  # never fail the whole bench on this entry
+        # stderr: stdout must stay exactly one JSON line for the driver
         print(f"# whole-scene entry skipped: {type(e).__name__}: {str(e)[:200]}",
-              flush=True)
+              file=sys.stderr, flush=True)
         return None
 
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    # Persistent compilation cache: a cold host recompiles every entry
+    # through the remote compile service (~30-120 s each; a full bench run
+    # was measured at 30+ min cold). If the backend supports executable
+    # serialization this turns re-runs into minutes; if not, jax warns and
+    # proceeds — never fatal.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     entries = [
         bench_one("modelnet40_cls", "cls", 16, 1024, "float32"),
