@@ -18,23 +18,11 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the e2e CLI tests compile full models; caching
-# makes repeat suite runs dramatically faster. The cache key does NOT include
-# the host's CPU features, and XLA:CPU AOT results compiled on a machine with
-# different ISA extensions abort at load/execute time (observed: a VM swap left
-# `+prefer-no-scatter` entries that SIGILL'd the thunk executor) — so segregate
-# caches per host fingerprint.
-import hashlib  # noqa: E402
-import platform  # noqa: E402
+# makes repeat suite runs dramatically faster. Segregated per host fingerprint
+# (why: pointasnl_tpu/utils/cache.py — cross-ISA AOT entries SIGILL).
+from pointasnl_tpu.utils.cache import host_cache_dir  # noqa: E402
 
-try:
-    with open("/proc/cpuinfo") as f:
-        _cpu_flags = next(
-            (line for line in f if line.startswith("flags")), platform.machine()
-        )
-except OSError:
-    _cpu_flags = platform.machine()
-_host_tag = hashlib.sha1(_cpu_flags.encode()).hexdigest()[:12]
-_cache_dir = os.path.join(os.path.dirname(__file__), ".jax_cache", _host_tag)
+_cache_dir = host_cache_dir(os.path.join(os.path.dirname(__file__), ".jax_cache"))
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
