@@ -8,7 +8,16 @@ cache (tests/conftest.py, __graft_entry__._provision_cpu_devices) must
 therefore key the cache directory on a host fingerprint — this module is the
 single definition of that fingerprint.
 
-This module must stay importable before jax backend init (no jax import).
+Fingerprint contents (r4, VERDICT item 2): the /proc/cpuinfo `flags` line is
+NOT sufficient — XLA targets pseudo-features like `+prefer-no-gather` chosen
+from the CPU *model*, not its flag list, and round 3's dryrun loaded foreign
+AOT entries ("could lead to SIGILL") from a flag-identical host of a
+different model. The fingerprint is therefore flags + `model name` +
+jaxlib version (serialization format changes across releases).
+
+This module must stay importable before jax backend init. Importing
+`jaxlib.version` is safe (no backend is created); if even that import fails
+the version component degrades to "unknown" rather than erroring.
 """
 
 from __future__ import annotations
@@ -18,16 +27,33 @@ import os
 import platform
 
 
-def host_fingerprint() -> str:
-    """12-hex-char tag of this host's CPU feature flags."""
+def _jaxlib_version() -> str:
     try:
-        with open("/proc/cpuinfo") as f:
-            cpu_flags = next(
-                (line for line in f if line.startswith("flags")), platform.machine()
-            )
-    except OSError:
-        cpu_flags = platform.machine()
-    return hashlib.sha1(cpu_flags.encode()).hexdigest()[:12]
+        import jaxlib.version
+
+        return jaxlib.version.__version__
+    except Exception:
+        return "unknown"
+
+
+def host_fingerprint(cpuinfo_text: str | None = None,
+                     jaxlib_version: str | None = None) -> str:
+    """12-hex-char tag of this host's CPU identity (flags + model name) and
+    the jaxlib version. Arguments exist for tests; production callers pass
+    none and get the live host's fingerprint."""
+    if cpuinfo_text is None:
+        try:
+            with open("/proc/cpuinfo") as f:
+                cpuinfo_text = f.read()
+        except OSError:
+            cpuinfo_text = platform.machine()
+    lines = cpuinfo_text.splitlines()
+    flags = next((l for l in lines if l.startswith("flags")), cpuinfo_text)
+    model = next((l for l in lines if l.startswith("model name")), "")
+    if jaxlib_version is None:
+        jaxlib_version = _jaxlib_version()
+    key = "\n".join([flags, model, jaxlib_version])
+    return hashlib.sha1(key.encode()).hexdigest()[:12]
 
 
 def host_cache_dir(base_dir: str) -> str:
