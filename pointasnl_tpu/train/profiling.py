@@ -126,6 +126,10 @@ class StepTraceWindow:
             if self._tracing:
                 stop_trace()
                 self._tracing = False
+            # Kill the window: a caller that catches the dispatch error and
+            # keeps looping must not silently reopen a fresh trace into the
+            # same logdir (_seen == 0 would re-arm before()).
+            self._seen = self.steps
             raise
         self.after(result)
         return result
