@@ -93,6 +93,7 @@ def main(argv=None):
             1,
         ),
         in_radius=train_args.get("in_radius", 0),
+        input_threads=train_args.get("input_threads", 8),
     )
 
     model = get_model_class(train_args["model"])(
@@ -122,37 +123,33 @@ def main(argv=None):
             return np.concatenate([pts, batch["colors"].astype(np.float32)], axis=-1)
         return pts
 
-    from pointasnl_tpu.train.profiling import start_trace, stop_trace
+    from pointasnl_tpu.train.profiling import StepTraceWindow
 
+    tracer = StepTraceWindow(
+        os.path.join(dump_dir, "profile"), enabled=flags.profile, log=log
+    )
     round_idx = 0
-    pred_steps = 0
-    tracing = False
-    while round_idx < flags.max_rounds:
-        for batch in dataset.batches(flags.split, cfg, augment=False):
-            if flags.profile and pred_steps == 0:
-                start_trace(os.path.join(dump_dir, "profile"))
-                tracing = True
-            pred_steps += 1
-            logits = np.asarray(predict(state, place(model_input(batch))))
-            if tracing and pred_steps >= 3:
-                stop_trace()  # logits fetch above already synced the device
-                tracing = False
-                log(f"profile trace written to {dump_dir}/profile")
-            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits[:, :, 1:]), axis=-1))
-            for b in range(probs.shape[0]):
-                c_i = int(batch["cloud_ind"][b])
-                inds = batch["point_inds"][b]
-                cloud_probs[c_i][inds] = (
-                    test_smooth * cloud_probs[c_i][inds] + (1 - test_smooth) * probs[b]
+    try:
+        while round_idx < flags.max_rounds:
+            for batch in dataset.batches(flags.split, cfg, augment=False):
+                # the np.asarray fetch inside traced() syncs the device
+                logits = np.asarray(
+                    tracer.traced(lambda: predict(state, place(model_input(batch))))
                 )
-        min_pot = float(np.min(dataset.min_potentials[flags.split]))
-        log(f"round {round_idx}: min potential {min_pot:.2f}")
-        round_idx += 1
-        if min_pot > flags.num_votes:
-            break
-    if tracing:  # fewer steps than the trace window
-        stop_trace()
-        log(f"profile trace written to {dump_dir}/profile")
+                probs = np.asarray(jax.nn.softmax(jnp.asarray(logits[:, :, 1:]), axis=-1))
+                for b in range(probs.shape[0]):
+                    c_i = int(batch["cloud_ind"][b])
+                    inds = batch["point_inds"][b]
+                    cloud_probs[c_i][inds] = (
+                        test_smooth * cloud_probs[c_i][inds] + (1 - test_smooth) * probs[b]
+                    )
+            min_pot = float(np.min(dataset.min_potentials[flags.split]))
+            log(f"round {round_idx}: min potential {min_pot:.2f}")
+            round_idx += 1
+            if min_pot > flags.num_votes:
+                break
+    finally:
+        tracer.close()  # fewer steps than the window, or an exception
 
     if flags.split == "validation":
         miou = vote_projection_eval(dataset, cloud_probs, num_classes, log)

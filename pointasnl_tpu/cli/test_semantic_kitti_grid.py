@@ -82,7 +82,11 @@ def main(argv=None):
     if len(dataset.test_list) == 0:
         raise RuntimeError(f"no scans for test sequence {flags.test_id}")
 
-    cfg = GridConfig(batch_size=batch_size, in_radius=train_args.get("in_radius", 0))
+    cfg = GridConfig(
+        batch_size=batch_size,
+        in_radius=train_args.get("in_radius", 0),
+        input_threads=train_args.get("input_threads", 8),
+    )
 
     model = get_model_class(train_args["model"])(
         num_class=num_classes, feature_channel=0, **nl_kwargs(train_args)
@@ -105,38 +109,33 @@ def main(argv=None):
         for f in dataset.test_list
     ]
 
-    from pointasnl_tpu.train.profiling import start_trace, stop_trace
+    from pointasnl_tpu.train.profiling import StepTraceWindow
 
+    tracer = StepTraceWindow(
+        os.path.join(flags.save_dir, "profile"), enabled=flags.profile, log=log
+    )
     smooth = 0.98
     round_idx = 0
-    pred_steps = 0
-    tracing = False
-    while round_idx < flags.max_rounds:
-        for batch in dataset.batches("test", cfg, augment=False):
-            if flags.profile and pred_steps == 0:
-                start_trace(os.path.join(flags.save_dir, "profile"))
-                tracing = True
-            pred_steps += 1
-            logits = np.asarray(predict(state, place(batch["points"])))
-            if tracing and pred_steps >= 3:
-                stop_trace()  # logits fetch above already synced the device
-                tracing = False
-                log(f"profile trace written to {flags.save_dir}/profile")
-            probs = np.asarray(jax.nn.softmax(jnp.asarray(logits[:, :, 1:]), axis=-1))
-            for b in range(probs.shape[0]):
-                c_i = int(batch["cloud_ind"][b])
-                inds = batch["point_inds"][b]
-                cloud_probs[c_i][inds] = (
-                    smooth * cloud_probs[c_i][inds] + (1 - smooth) * probs[b]
+    try:
+        while round_idx < flags.max_rounds:
+            for batch in dataset.batches("test", cfg, augment=False):
+                logits = np.asarray(
+                    tracer.traced(lambda: predict(state, place(batch["points"])))
                 )
-        min_pos = float(np.min(dataset.min_possibility))
-        log(f"round {round_idx}: min possibility {min_pos:.2f}")
-        round_idx += 1
-        if min_pos > flags.num_votes:
-            break
-    if tracing:  # fewer steps than the trace window
-        stop_trace()
-        log(f"profile trace written to {flags.save_dir}/profile")
+                probs = np.asarray(jax.nn.softmax(jnp.asarray(logits[:, :, 1:]), axis=-1))
+                for b in range(probs.shape[0]):
+                    c_i = int(batch["cloud_ind"][b])
+                    inds = batch["point_inds"][b]
+                    cloud_probs[c_i][inds] = (
+                        smooth * cloud_probs[c_i][inds] + (1 - smooth) * probs[b]
+                    )
+            min_pos = float(np.min(dataset.min_possibility))
+            log(f"round {round_idx}: min possibility {min_pos:.2f}")
+            round_idx += 1
+            if min_pos > flags.num_votes:
+                break
+    finally:
+        tracer.close()  # fewer steps than the window, or an exception
 
     inv_lut = np.zeros(num_classes, np.uint32)
     for k, v in LEARNING_MAP_INV.items():

@@ -174,6 +174,7 @@ def main(argv=None):
         epoch_steps=flags.epoch_steps,
         validation_size=flags.validation_size,
         in_radius=flags.in_radius,
+        input_threads=flags.input_threads,
     )
 
     model = get_model_class(flags.model)(
@@ -228,19 +229,21 @@ def main(argv=None):
     )
     best_vote_iou = 0.0
     val_smooth = 0.95
-    from pointasnl_tpu.train.profiling import start_trace, stop_trace
+    from pointasnl_tpu.train.profiling import StepTraceWindow
 
     for epoch in range(flags.from_epoch, flags.max_epoch):
         log(f"**** EPOCH {epoch:03d} ****")
         t0 = time.time()
         loss_sum = 0.0
         nsteps = 0
-        tracing = False
+        tracer = StepTraceWindow(
+            os.path.join(flags.log_dir, "profile"),
+            enabled=flags.profile and epoch == flags.from_epoch,
+            log=log,
+        )
         try:
             for batch in Prefetcher(dataset.batches("training", cfg), capacity=8):
-                if flags.profile and epoch == flags.from_epoch and nsteps == 0:
-                    start_trace(os.path.join(flags.log_dir, "profile"))
-                    tracing = True
+                tracer.before()
                 state, metrics = train_step(
                     state,
                     {
@@ -254,16 +257,9 @@ def main(argv=None):
                 # through the tunneled runtime (BENCH_OPS.md)
                 loss_sum = loss_sum + metrics["loss"]
                 nsteps += 1
-                if tracing and nsteps >= 3:
-                    jax.block_until_ready(state.params)
-                    stop_trace()
-                    tracing = False
-                    log(f"profile trace written to {flags.log_dir}/profile")
+                tracer.after(state.params)
         finally:
-            if tracing:
-                jax.block_until_ready(state.params)
-                stop_trace()
-                log(f"profile trace written to {flags.log_dir}/profile")
+            tracer.close(state.params)
         log(
             f"train loss {loss_sum / max(nsteps, 1):.4f} "
             f"({time.time() - t0:.1f}s, lr {float(lr_sched(state.step)):.6f})"

@@ -126,7 +126,11 @@ def main(argv=None):
         random_state=rs,
     )
 
-    cfg = GridConfig(batch_size=flags.batch_size, in_radius=flags.in_radius)
+    cfg = GridConfig(
+        batch_size=flags.batch_size,
+        in_radius=flags.in_radius,
+        input_threads=flags.input_threads,
+    )
 
     model = get_model_class(flags.model)(
         num_class=num_classes, feature_channel=0, **nl_kwargs(flags)

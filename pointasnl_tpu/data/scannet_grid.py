@@ -30,6 +30,7 @@ from pointasnl_tpu.data.grid_pipeline import (
     GridConfig,
     augment_points,
     maybe_drop_colors,
+    parallel_map,
 )
 from pointasnl_tpu.data.grid_subsampling import compute as _gs_compute
 from pointasnl_tpu.data.mesh import rasterize_mesh
@@ -468,26 +469,42 @@ class ScannetGridDataset:
             }
 
     def batches(self, split: str, config: GridConfig, augment: bool = True) -> Iterator[dict]:
-        """Fixed-shape batches with per-cloud augmentation + color drop."""
+        """Fixed-shape batches with per-cloud augmentation + color drop.
+
+        The augment/map stage runs on `config.input_threads` workers
+        (reference: tf.data map(num_parallel_calls=8),
+        train_scannet_grid.py:145-147) — the generator stays serial (its
+        potential state is sequential, as in the reference). Each item gets
+        a seed drawn serially from self.rs, so the output stream is
+        identical for any thread count.
+        """
         symmetries = [True, False, False] if split == "training" else [False, False, False]
         cfg = GridConfig(**{**config.__dict__, "augment_symmetries": symmetries})
 
-        buf = []
-        for item in self.spatially_regular_gen(split, cfg):
+        def seeded():
+            for item in self.spatially_regular_gen(split, cfg):
+                yield item, self.rs.randint(0, 2**31 - 1)
+
+        def map_fn(arg):
             # tf_map equivalent (:554-571): keep only the rgb half of the
             # color tensor, augment xyz, then randomly drop the cloud's colors.
+            item, seed = arg
             rgb = item["colors"][:, :3]
-            if augment:
-                pts, _, _ = augment_points(item["points"], cfg, self.rs)
-                item = dict(item, points=pts, colors=maybe_drop_colors(rgb, cfg, self.rs))
-            else:
-                item = dict(item, colors=rgb)
-            buf.append(item)
-            if len(buf) == cfg.batch_size:
-                yield {
-                    k: np.stack([b[k] for b in buf]) for k in buf[0]
-                }
-                buf = []
+            if not augment:
+                return dict(item, colors=rgb)
+            rs = np.random.RandomState(seed)
+            pts, _, _ = augment_points(item["points"], cfg, rs)
+            return dict(item, points=pts, colors=maybe_drop_colors(rgb, cfg, rs))
+
+        buf = []
+        with parallel_map(seeded(), map_fn, cfg.input_threads) as mapped:
+            for item in mapped:
+                buf.append(item)
+                if len(buf) == cfg.batch_size:
+                    yield {
+                        k: np.stack([b[k] for b in buf]) for k in buf[0]
+                    }
+                    buf = []
 
     def load_evaluation_points(self, file_path: str) -> np.ndarray:
         """Mesh vertices the metrics are evaluated on (:575-584)."""

@@ -23,7 +23,7 @@ from typing import Iterator, List, Optional
 
 import numpy as np
 
-from pointasnl_tpu.data.grid_pipeline import GridConfig, augment_points
+from pointasnl_tpu.data.grid_pipeline import GridConfig, augment_points, parallel_map
 from pointasnl_tpu.data.grid_subsampling import compute as _gs_compute
 from pointasnl_tpu.data.semantic_kitti_config import LEARNING_MAP
 
@@ -286,14 +286,30 @@ class SemanticKittiGridDataset:
             }
 
     def batches(self, split: str, config: GridConfig, augment: bool = True) -> Iterator[dict]:
+        """Fixed-shape batches; the augment stage runs on
+        `config.input_threads` workers (tf.data num_parallel_calls analog,
+        train_semantic_kitti_grid.py pipeline). Per-item seeds are drawn
+        serially, so output is identical for any thread count."""
         symmetries = [True, False, False] if split == "training" else [False, False, False]
         cfg = GridConfig(**{**config.__dict__, "augment_symmetries": symmetries})
+
+        def seeded():
+            for item in self.spatially_regular_gen(split, cfg):
+                yield item, self.rs.randint(0, 2**31 - 1)
+
+        def map_fn(arg):
+            item, seed = arg
+            if not augment:
+                return item
+            pts, _, _ = augment_points(
+                item["points"], cfg, np.random.RandomState(seed)
+            )
+            return dict(item, points=pts)
+
         buf = []
-        for item in self.spatially_regular_gen(split, cfg):
-            if augment:
-                pts, _, _ = augment_points(item["points"], cfg, self.rs)
-                item = dict(item, points=pts)
-            buf.append(item)
-            if len(buf) == cfg.batch_size:
-                yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}
-                buf = []
+        with parallel_map(seeded(), map_fn, cfg.input_threads) as mapped:
+            for item in mapped:
+                buf.append(item)
+                if len(buf) == cfg.batch_size:
+                    yield {k: np.stack([b[k] for b in buf]) for k in buf[0]}
+                    buf = []
