@@ -129,6 +129,7 @@ def main(argv=None):
     predict = make_predict_step()
     log("Model restored.")
 
+    predict_sharded = variables = None  # set when --sharded
     mesh_divisor = 256
     if flags.sharded:
         if not flags.single_pass:
@@ -185,6 +186,35 @@ def main(argv=None):
     )
     total = SegEvalAccumulator(flags.num_classes)
     n_scenes = len(dataset) if flags.max_scenes == 0 else min(flags.max_scenes, len(dataset))
+    try:
+        _scene_loop(
+            flags, dataset, scene_ids, n_scenes, tracer, total, dump_dir,
+            rs, feature_channel, mesh_divisor, predict, predict_sharded,
+            state, variables, place, log,
+        )
+    finally:
+        # fewer total dispatches than the window's steps (e.g. --single_pass
+        # --num_votes 1 --max_scenes 1), or an exception between traced()
+        # calls, must still end the trace: jax.profiler crashes on process
+        # exit with an open trace and the artifact would be lost.
+        tracer.close()
+
+    if flags.dataset == "val":
+        iou = total.per_class_iou()[1:]
+        log(f"eval point avg class IoU: {float(np.mean(iou)):.6f}")
+        for i, v in enumerate(iou):
+            log(f"Class {i + 1} : {v:.4f}")
+    log("Done!")
+    return total.miou() if flags.dataset == "val" else None
+
+
+def _scene_loop(
+    flags, dataset, scene_ids, n_scenes, tracer, total, dump_dir,
+    rs, feature_channel, mesh_divisor, predict, predict_sharded,
+    state, variables, place, log,
+):
+    import jax.numpy as jnp
+
     for scene_idx in range(n_scenes):
         whole_scene_points_index = dataset.scene_points_id[scene_idx]
         whole_scene_points_num = dataset.scene_points_num[scene_idx]
@@ -265,14 +295,6 @@ def main(argv=None):
         with open(os.path.join(dump_dir, sid + ".txt"), "w") as f:
             for v in whole_scene_data:
                 f.write(f"{int(v)}\n")
-
-    if flags.dataset == "val":
-        iou = total.per_class_iou()[1:]
-        log(f"eval point avg class IoU: {float(np.mean(iou)):.6f}")
-        for i, v in enumerate(iou):
-            log(f"Class {i + 1} : {v:.4f}")
-    log("Done!")
-    return total.miou() if flags.dataset == "val" else None
 
 
 if __name__ == "__main__":

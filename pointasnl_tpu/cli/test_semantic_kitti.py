@@ -184,103 +184,111 @@ def main(argv=None):
     )
     total = SegEvalAccumulator(flags.num_classes)
     n_scans = len(dataset) if flags.max_scans == 0 else min(flags.max_scans, len(dataset))
-    for scan_idx in range(n_scans):
-        full_points_name = dataset.points_name[scan_idx]
-        components = full_points_name.split(os.sep)
-        sequence = components[-3]
-        label_name = components[-1].replace("bin", "label")
-        save_dir = os.path.join(flags.save_dir, "sequences", sequence, "predictions")
-        os.makedirs(save_dir, exist_ok=True)
+    try:
+        for scan_idx in range(n_scans):
+            full_points_name = dataset.points_name[scan_idx]
+            components = full_points_name.split(os.sep)
+            sequence = components[-3]
+            label_name = components[-1].replace("bin", "label")
+            save_dir = os.path.join(flags.save_dir, "sequences", sequence, "predictions")
+            os.makedirs(save_dir, exist_ok=True)
 
-        whole_scene_label = None
-        vote_label_pool = None
-        if flags.single_pass:
-            # Whole scan through the model at once, per vote: fresh point
-            # order each vote re-seeds FPS (the voting randomness), as in
-            # the reference protocol; dup-padding to a quantum bounds jit
-            # recompiles across scan sizes (mirrors test_scannet).
-            pts_full, whole_scene_label = dataset.whole_scan(scan_idx)
-            n = pts_full.shape[0]
-            vote_label_pool = np.zeros((n, flags.num_classes))
-            quantum = max(
-                mesh_divisor, flags.pad_quantum - flags.pad_quantum % mesh_divisor
-            )
-            for _ in range(flags.num_votes):
-                pidx = np.arange(n)
-                pts = pts_full
-                n_pad = (-n) % quantum
-                if n_pad:
-                    dup = rs.choice(n, n_pad)
-                    pts = np.concatenate([pts, pts[dup]], axis=0)
-                    pidx = np.concatenate([pidx, dup], axis=0)
-                order = rs.permutation(pts.shape[0])
-                pts, pidx = pts[order].copy(), pidx[order]
-                if flags.random_rotate:
-                    pts[:, :3] = provider.rotate_point_cloud_z(
-                        pts[None, :, :3], random_state=rs
-                    )[0]
-                scene_in = jnp.asarray(pts[None, :, : 3 + feature_channel])
-                if flags.sharded:
-                    logits = np.asarray(
-                        tracer.traced(lambda: predict_sharded(variables, scene_in))
-                    )[0]
-                else:
-                    logits = np.asarray(tracer.traced(lambda: predict(state, scene_in)))[0]
-                pred_label = np.argmax(logits[:, 1:], 1) + 1
-                vote_label_pool = add_vote(
-                    vote_label_pool, pidx[None], pred_label[None],
-                    np.ones((1, len(pidx))),
+            whole_scene_label = None
+            vote_label_pool = None
+            if flags.single_pass:
+                # Whole scan through the model at once, per vote: fresh point
+                # order each vote re-seeds FPS (the voting randomness), as in
+                # the reference protocol; dup-padding to a quantum bounds jit
+                # recompiles across scan sizes (mirrors test_scannet).
+                pts_full, whole_scene_label = dataset.whole_scan(scan_idx)
+                n = pts_full.shape[0]
+                vote_label_pool = np.zeros((n, flags.num_classes))
+                quantum = max(
+                    mesh_divisor, flags.pad_quantum - flags.pad_quantum % mesh_divisor
                 )
-            num_votes_done = flags.num_votes
-        else:
-            num_votes_done = 0
-        for _ in range(flags.num_votes - num_votes_done):
-            item = dataset[scan_idx]
-            if flags.dataset == "test":
-                scene_data, scene_point_index, whole_scene_data = item
-            else:
-                scene_data, scene_point_index, whole_scene_data, whole_scene_label = item
-            if vote_label_pool is None:
-                vote_label_pool = np.zeros((whole_scene_data.shape[0], flags.num_classes))
-            num_blocks = scene_data.shape[0]
-            s_batch_num = (num_blocks + flags.batch_size - 1) // flags.batch_size
-            for sbatch in range(s_batch_num):
-                start = sbatch * flags.batch_size
-                end = min((sbatch + 1) * flags.batch_size, num_blocks)
-                real = end - start
-                batch_data = np.zeros(
-                    (flags.batch_size, flags.num_point, 3 + feature_channel), np.float32
-                )
-                batch_index = np.zeros((flags.batch_size, flags.num_point))
-                batch_data[:real] = scene_data[start:end]
-                batch_index[:real] = scene_point_index[start:end]
-                if flags.random_rotate:
-                    batch_data[:, :, :3] = provider.rotate_point_cloud_z(
-                        batch_data[:, :, :3], random_state=rs
+                for _ in range(flags.num_votes):
+                    pidx = np.arange(n)
+                    pts = pts_full
+                    n_pad = (-n) % quantum
+                    if n_pad:
+                        dup = rs.choice(n, n_pad)
+                        pts = np.concatenate([pts, pts[dup]], axis=0)
+                        pidx = np.concatenate([pidx, dup], axis=0)
+                    order = rs.permutation(pts.shape[0])
+                    pts, pidx = pts[order].copy(), pidx[order]
+                    if flags.random_rotate:
+                        pts[:, :3] = provider.rotate_point_cloud_z(
+                            pts[None, :, :3], random_state=rs
+                        )[0]
+                    scene_in = jnp.asarray(pts[None, :, : 3 + feature_channel])
+                    if flags.sharded:
+                        logits = np.asarray(
+                            tracer.traced(lambda: predict_sharded(variables, scene_in))
+                        )[0]
+                    else:
+                        logits = np.asarray(tracer.traced(lambda: predict(state, scene_in)))[0]
+                    pred_label = np.argmax(logits[:, 1:], 1) + 1
+                    vote_label_pool = add_vote(
+                        vote_label_pool, pidx[None], pred_label[None],
+                        np.ones((1, len(pidx))),
                     )
-                logits = np.asarray(
-                    tracer.traced(lambda: predict(state, place(batch_data)))
-                )
-                pred_label = np.argmax(logits[:, :, 1:], 2) + 1
-                vote_label_pool = add_vote(
-                    vote_label_pool,
-                    batch_index[:real],
-                    pred_label[:real],
-                    np.ones_like(batch_index[:real]),
+                num_votes_done = flags.num_votes
+            else:
+                num_votes_done = 0
+            for _ in range(flags.num_votes - num_votes_done):
+                item = dataset[scan_idx]
+                if flags.dataset == "test":
+                    scene_data, scene_point_index, whole_scene_data = item
+                else:
+                    scene_data, scene_point_index, whole_scene_data, whole_scene_label = item
+                if vote_label_pool is None:
+                    vote_label_pool = np.zeros((whole_scene_data.shape[0], flags.num_classes))
+                num_blocks = scene_data.shape[0]
+                s_batch_num = (num_blocks + flags.batch_size - 1) // flags.batch_size
+                for sbatch in range(s_batch_num):
+                    start = sbatch * flags.batch_size
+                    end = min((sbatch + 1) * flags.batch_size, num_blocks)
+                    real = end - start
+                    batch_data = np.zeros(
+                        (flags.batch_size, flags.num_point, 3 + feature_channel), np.float32
+                    )
+                    batch_index = np.zeros((flags.batch_size, flags.num_point))
+                    batch_data[:real] = scene_data[start:end]
+                    batch_index[:real] = scene_point_index[start:end]
+                    if flags.random_rotate:
+                        batch_data[:, :, :3] = provider.rotate_point_cloud_z(
+                            batch_data[:, :, :3], random_state=rs
+                        )
+                    logits = np.asarray(
+                        tracer.traced(lambda: predict(state, place(batch_data)))
+                    )
+                    pred_label = np.argmax(logits[:, :, 1:], 2) + 1
+                    vote_label_pool = add_vote(
+                        vote_label_pool,
+                        batch_index[:real],
+                        pred_label[:real],
+                        np.ones_like(batch_index[:real]),
+                    )
+
+            final_preds = np.argmax(vote_label_pool, axis=1).astype(np.uint32)
+            out = inv_lut[final_preds] if flags.remap_inv else final_preds
+            out.astype(np.uint32).tofile(os.path.join(save_dir, label_name))
+
+            if flags.dataset != "test" and whole_scene_label is not None:
+                scan_acc = SegEvalAccumulator(flags.num_classes)
+                scan_acc.update(final_preds, whole_scene_label)
+                total.update(final_preds, whole_scene_label)
+                log(
+                    f"[{scan_idx + 1}/{n_scans}] {sequence}-{label_name.split('.')[0]} "
+                    f"mIoU {scan_acc.miou():.4f}"
                 )
 
-        final_preds = np.argmax(vote_label_pool, axis=1).astype(np.uint32)
-        out = inv_lut[final_preds] if flags.remap_inv else final_preds
-        out.astype(np.uint32).tofile(os.path.join(save_dir, label_name))
-
-        if flags.dataset != "test" and whole_scene_label is not None:
-            scan_acc = SegEvalAccumulator(flags.num_classes)
-            scan_acc.update(final_preds, whole_scene_label)
-            total.update(final_preds, whole_scene_label)
-            log(
-                f"[{scan_idx + 1}/{n_scans}] {sequence}-{label_name.split('.')[0]} "
-                f"mIoU {scan_acc.miou():.4f}"
-            )
+    finally:
+        # fewer total dispatches than the window's steps (e.g. --single_pass
+        # --num_votes 1 --max_scans 1), or an exception between traced()
+        # calls, must still end the trace: jax.profiler crashes on process
+        # exit with an open trace and the artifact would be lost.
+        tracer.close()
 
     if flags.dataset != "test":
         log(f"eval point avg class IoU: {total.miou():.6f}")

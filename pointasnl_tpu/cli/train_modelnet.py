@@ -196,18 +196,19 @@ def main(argv=None):
                     break
 
         from pointasnl_tpu.data.grid_pipeline import Prefetcher
-        from pointasnl_tpu.train.profiling import start_trace, stop_trace
+        from pointasnl_tpu.train.profiling import StepTraceWindow
 
-        profile_this_epoch = flags.profile and epoch == 0
-        profile_steps = 5
-        tracing = False
+        tracer = StepTraceWindow(
+            os.path.join(flags.log_dir, "profile"),
+            enabled=flags.profile and epoch == 0,
+            steps=5,
+            log=log,
+        )
         try:
             for batch_data, batch_label, bsize in Prefetcher(
                 augmented_batches(), capacity=4
             ):
-                if profile_this_epoch and num_batches == 0:
-                    start_trace(os.path.join(flags.log_dir, "profile"))
-                    tracing = True
+                tracer.before()
                 state, metrics = train_step(
                     state,
                     {"points": place_batch(batch_data), "labels": place_batch(batch_label)},
@@ -219,16 +220,9 @@ def main(argv=None):
                 total_correct = total_correct + metrics["accuracy"] * flags.batch_size
                 total_seen += bsize
                 num_batches += 1
-                if tracing and num_batches >= profile_steps:
-                    jax.block_until_ready(state.params)
-                    stop_trace()
-                    tracing = False
-                    log(f"profile trace written to {flags.log_dir}/profile")
+                tracer.after(state.params)
         finally:
-            if tracing:
-                jax.block_until_ready(state.params)
-                stop_trace()
-                log(f"profile trace written to {flags.log_dir}/profile")
+            tracer.close(state.params)
         train_ds.reset()
         log(
             f"train loss {loss_sum / max(num_batches, 1):.4f} "
