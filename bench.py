@@ -13,6 +13,16 @@ batch-scaled variants and a 131k-point whole-scene single-pass inference
 entry (the scene-scale capability the reference's crop pipeline cannot
 express; skipped gracefully if it cannot run).
 
+Crash/timeout safety (r4): every completed entry is persisted to
+`bench_partial.json` immediately, and the bench runs under a wall-clock
+budget (env BENCH_BUDGET_S, default 900 s). When the budget's SIGALRM fires,
+or the driver sends SIGTERM/SIGINT, the single JSON line is printed from
+whatever completed so far and the process exits 0 — a kill mid-entry can no
+longer lose the finished measurements (round-3 failure mode: rc=124 after
+entry 6 of 8 with nothing parseable on stdout). Entries are ordered so the
+primary metric and the two recipe configs land first, and an entry is only
+started if the remaining budget plausibly covers it.
+
 Baseline note: the reference publishes no throughput numbers (SURVEY.md §6)
 — accuracy only. "vs_baseline" is therefore measured against an ESTIMATE
 (flagged in the output): ~0.30 s/step for the TF1+CUDA10 single-GPU cls
@@ -35,6 +45,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -52,6 +63,92 @@ PEAK_FLOPS_BF16 = {
     "TPU v6 lite": 918e12,  # v6e / Trillium
     "TPU v6e": 918e12,
 }
+
+_REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+_PARTIAL_PATH = os.path.join(_REPO_DIR, "bench_partial.json")
+
+# Mutable run state shared with the signal handlers.
+_STATE: dict = {
+    "entries": [],
+    "skipped_entries": [],
+    "eval_points_per_sec_per_chip": None,
+    "device_kind": None,
+    "emitted": False,
+    "deadline": None,
+}
+
+
+def _remaining() -> float:
+    return _STATE["deadline"] - time.monotonic()
+
+
+def _result_json() -> str:
+    entries = _STATE["entries"]
+    primary = next(
+        (e for e in entries if e["config"] == "modelnet40_cls"
+         and e["dtype"] == "float32"),
+        entries[0] if entries else None,
+    )
+    return json.dumps(
+        {
+            "metric": "modelnet40_cls_train_points_per_sec_per_chip",
+            "value": primary["points_per_sec_per_chip"] if primary else None,
+            "unit": "points/sec/chip",
+            "vs_baseline": round(
+                primary["points_per_sec_per_chip"]
+                / BASELINE_ESTIMATE_POINTS_PER_SEC,
+                3,
+            ) if primary else None,
+            "baseline_is_estimate": True,
+            "baseline_note": (
+                "reference publishes no throughput; baseline is an "
+                "estimated 0.30 s/step for the TF1+CUDA10 cls config"
+            ),
+            "device_kind": _STATE["device_kind"],
+            "eval_points_per_sec_per_chip": _STATE[
+                "eval_points_per_sec_per_chip"
+            ],
+            "entries": entries,
+            "skipped_entries": _STATE["skipped_entries"],
+        }
+    )
+
+
+def _persist_partial() -> None:
+    try:
+        tmp = _PARTIAL_PATH + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(_result_json() + "\n")
+        os.replace(tmp, _PARTIAL_PATH)
+    except OSError:
+        pass  # persistence is best-effort; never fail the bench on it
+
+
+def _emit_and_exit(why: str) -> None:
+    """Print the one JSON line from whatever completed and exit 0."""
+    if _STATE["emitted"]:
+        os._exit(0)
+    _STATE["emitted"] = True
+    print(f"# bench: emitting early ({why}); "
+          f"{len(_STATE['entries'])} entries completed",
+          file=sys.stderr, flush=True)
+    print(_result_json(), flush=True)
+    _persist_partial()
+    # os._exit: a python exit would run jax atexit hooks (and possibly hang
+    # on the tunneled runtime) — the JSON line is already on stdout.
+    os._exit(0)
+
+
+def _install_budget(budget_s: float) -> None:
+    _STATE["deadline"] = time.monotonic() + budget_s
+
+    def on_signal(signum, frame):
+        _emit_and_exit(f"signal {signum}")
+
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+    signal.signal(signal.SIGALRM, on_signal)
+    signal.alarm(max(1, int(budget_s)))
 
 
 def _flops_of(compiled) -> float | None:
@@ -115,11 +212,13 @@ def bench_one(name: str, task: str, batch_size: int, num_point: int, dtype: str,
         )
         key = jax.random.PRNGKey(1)
 
-        flops = _flops_of(step.lower(state, batch, key).compile())
-
-        # Warmup / compile.
+        # Warmup / compile. The FLOPs cost-analysis compile comes AFTER the
+        # warmup so it hits the just-populated persistent cache — doing it
+        # first doubled the cold-compile cost of every entry (lower().compile()
+        # does not share the jit's in-process executable cache).
         state, m = step(state, batch, key)
         float(m["loss"])
+        flops = _flops_of(step.lower(state, batch, key).compile())
 
         # Timing: the chain is forced by FETCHING a value computed from the
         # final step. block_until_ready through the tunneled TPU runtime has
@@ -202,44 +301,17 @@ def bench_whole_scene(n: int = 131072, block: int = 4096,
         return None
 
 
-def main():
+def bench_eval_throughput(n_iters: int = 20) -> float:
+    """Forward-only (inference) throughput on the cls config,
+    dependency-chained so the tunnel cannot overlap dispatches."""
     import jax
     import jax.numpy as jnp
 
-    # Persistent compilation cache: a cold host recompiles every entry
-    # through the remote compile service (~30-120 s each; a full bench run
-    # was measured at 30+ min cold). If the backend supports executable
-    # serialization this turns re-runs into minutes; if not, jax warns and
-    # proceeds — never fatal.
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu"),
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    entries = [
-        bench_one("modelnet40_cls", "cls", 16, 1024, "float32"),
-        bench_one("modelnet40_cls", "cls", 16, 1024, "bfloat16"),
-        # Batch-scaled entries (r3): the recipe batch sizes under-feed the
-        # chip — FPS/kNN serialization amortizes across a bigger batch, so
-        # these state what the hardware can actually sustain per chip.
-        bench_one("modelnet40_cls_b64", "cls", 64, 1024, "bfloat16"),
-        bench_one("scannet_seg_res", "seg", 4, 10240, "float32"),
-        bench_one("scannet_seg_res", "seg", 4, 10240, "bfloat16"),
-        bench_one("scannet_seg_res_b16", "seg", 16, 10240, "float32"),
-        bench_one("scannet_seg_res_b16", "seg", 16, 10240, "bfloat16"),
-    ]
-    scene = bench_whole_scene()
-    if scene is not None:
-        entries.append(scene)
-    primary = entries[0]
-
-    # Forward-only (inference) throughput on the cls config,
-    # dependency-chained so the tunnel cannot overlap dispatches.
     from pointasnl_tpu.models import PointASNLCls
     from pointasnl_tpu.train import create_train_state, staircase_lr_schedule
     from pointasnl_tpu.train.state import make_optimizer
 
+    print("# bench_eval_throughput ...", file=sys.stderr, flush=True)
     rng = np.random.RandomState(0)
     points = jnp.asarray(rng.randn(16, 1024, 3).astype(np.float32))
     model = PointASNLCls(num_class=40, adaptive_sample=True)
@@ -258,35 +330,96 @@ def main():
 
     x = chained_predict(state, points)
     float(x[0, 0, 0])
-    n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
         x = chained_predict(state, x)
     _ = float(x[0, 0, 0])  # fetch = the only trustworthy completion barrier
-    eval_pps = 16 * 1024 * n_iters / (time.perf_counter() - t0)
+    return 16 * 1024 * n_iters / (time.perf_counter() - t0)
 
-    print(
-        json.dumps(
-            {
-                "metric": "modelnet40_cls_train_points_per_sec_per_chip",
-                "value": primary["points_per_sec_per_chip"],
-                "unit": "points/sec/chip",
-                "vs_baseline": round(
-                    primary["points_per_sec_per_chip"]
-                    / BASELINE_ESTIMATE_POINTS_PER_SEC,
-                    3,
-                ),
-                "baseline_is_estimate": True,
-                "baseline_note": (
-                    "reference publishes no throughput; baseline is an "
-                    "estimated 0.30 s/step for the TF1+CUDA10 cls config"
-                ),
-                "device_kind": jax.devices()[0].device_kind,
-                "eval_points_per_sec_per_chip": round(eval_pps, 1),
-                "entries": entries,
-            }
+
+def main():
+    import jax
+
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    _install_budget(budget_s)
+
+    # Persistent compilation cache: a cold host recompiles every entry
+    # through the remote compile service (~30-120 s each; a full bench run
+    # was measured at 30+ min cold). If the backend supports executable
+    # serialization this turns re-runs into minutes; if not, jax warns and
+    # proceeds — never fatal. On the TPU backend serialized executables are
+    # host-ISA independent; if this ever resolves to CPU, segregate per host
+    # fingerprint (the SIGILL class utils/cache.py exists to prevent).
+    cache_dir = os.path.join(_REPO_DIR, ".jax_cache_tpu")
+    if jax.default_backend() == "cpu":
+        from pointasnl_tpu.utils.cache import host_cache_dir
+
+        cache_dir = host_cache_dir(cache_dir)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    _STATE["device_kind"] = jax.devices()[0].device_kind
+
+    # Ordered so the primary metric (cls f32) and the two recipe configs
+    # (train.py:18-35 cls; README.md:80-84 grid seg) complete first on a
+    # budget-constrained cold host; batch-scaled variants follow.
+    plan = [
+        ("modelnet40_cls", "cls", 16, 1024, "float32"),
+        ("scannet_seg_res", "seg", 4, 10240, "float32"),
+        ("modelnet40_cls", "cls", 16, 1024, "bfloat16"),
+        ("scannet_seg_res", "seg", 4, 10240, "bfloat16"),
+        # Batch-scaled entries (r3): the recipe batch sizes under-feed the
+        # chip — FPS/kNN serialization amortizes across a bigger batch, so
+        # these state what the hardware can actually sustain per chip.
+        ("modelnet40_cls_b64", "cls", 64, 1024, "bfloat16"),
+        ("scannet_seg_res_b16", "seg", 16, 10240, "float32"),
+        ("scannet_seg_res_b16", "seg", 16, 10240, "bfloat16"),
+    ]
+    slowest = 0.0
+    for name, task, bs, np_, dtype in plan:
+        # Only skip an entry when the remaining budget is clearly hopeless
+        # (under a cold-compile floor). Starting an entry that doesn't finish
+        # costs nothing — the SIGALRM handler emits whatever completed — but
+        # skipping one that would have finished loses a measurement, so the
+        # gate is deliberately aggressive. (An earlier 1.3x-slowest gate let
+        # the first entry's one-off backend-init + cold-compile cost veto
+        # every later, cheaper entry.)
+        need = 60.0
+        if _remaining() < need:
+            _STATE["skipped_entries"].append(
+                {"config": name, "dtype": dtype, "reason": "budget"}
+            )
+            print(f"# skipping {name} {dtype}: {_remaining():.0f}s left "
+                  f"< {need:.0f}s needed", file=sys.stderr, flush=True)
+            continue
+        t0 = time.monotonic()
+        _STATE["entries"].append(bench_one(name, task, bs, np_, dtype))
+        slowest = max(slowest, time.monotonic() - t0)
+        _persist_partial()
+
+    if _remaining() > 120.0:
+        scene = bench_whole_scene()
+        if scene is not None:
+            _STATE["entries"].append(scene)
+            _persist_partial()
+    else:
+        _STATE["skipped_entries"].append(
+            {"config": "whole_scene_single_pass", "reason": "budget"}
         )
-    )
+
+    if _remaining() > 90.0:
+        _STATE["eval_points_per_sec_per_chip"] = round(
+            bench_eval_throughput(), 1
+        )
+        _persist_partial()
+    else:
+        _STATE["skipped_entries"].append(
+            {"config": "eval_throughput", "reason": "budget"}
+        )
+
+    signal.alarm(0)
+    _STATE["emitted"] = True
+    print(_result_json(), flush=True)
+    _persist_partial()
 
 
 if __name__ == "__main__":
