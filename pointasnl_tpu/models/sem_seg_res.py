@@ -37,6 +37,10 @@ class PointASNLSemSegRes(nn.Module):
     # of the stem graph (tested identical in tests/test_models.py). Skips the
     # second-largest kNN search of the step.
     reuse_geometry: bool = True
+    # Head dropout keep probability (reference hardcodes 0.5,
+    # models/pointasnl_sem_seg_res.py:64); 1.0 disables dropout — used by the
+    # sharded-train-step parity tests to compare deterministic gradients.
+    dropout_keep: float = 0.5
 
     @nn.compact
     def __call__(
@@ -134,7 +138,7 @@ class PointASNLSemSegRes(nn.Module):
             l0_points, training=training, bn_momentum=bn_momentum
         )
         end_points["feats"] = net
-        net = Dropout(keep_prob=0.5, name="dp")(net, training=training)
+        net = Dropout(keep_prob=self.dropout_keep, name="dp")(net, training=training)
         net = PointConv(self.num_class, bn=False, activation=None, name="fc0")(
             net, training=training, bn_momentum=bn_momentum
         )

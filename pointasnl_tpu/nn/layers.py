@@ -20,6 +20,8 @@ Design notes (vs the TF1 reference):
 
 from __future__ import annotations
 
+import contextlib
+import threading
 from typing import Callable, Optional
 
 import jax
@@ -27,6 +29,36 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Array = jax.Array
+
+_bn_sync = threading.local()
+
+
+def current_bn_sync_axis() -> Optional[str]:
+    """The mesh axis name BatchNorm cross-reduces batch moments over, or None.
+
+    Set via `bn_sync_axis(...)` while TRACING a shard_map body whose inputs
+    are sharded on a named axis: inside shard_map, `jnp.mean` only sees the
+    local shard, so without the pmean each device would normalize with its
+    own shard's moments (unlike the pjit path, where XLA reduces over the
+    global batch automatically — layers.py module docstring). Equal-size
+    shards make pmean-of-shard-moments exactly the global moments.
+    """
+    return getattr(_bn_sync, "axis", None)
+
+
+@contextlib.contextmanager
+def bn_sync_axis(axis: Optional[str]):
+    """Scoped sync-BN: BatchNorms traced inside reduce moments over `axis`.
+
+    A tracing-time property (like nn.precision.compute_dtype): wrap the
+    shard_map body's submodule applications, not the jitted call site.
+    """
+    prev = getattr(_bn_sync, "axis", None)
+    _bn_sync.axis = axis
+    try:
+        yield
+    finally:
+        _bn_sync.axis = prev
 
 
 class BatchNorm(nn.Module):
@@ -55,9 +87,19 @@ class BatchNorm(nn.Module):
 
         if training:
             reduce_axes = tuple(range(x.ndim - 1))
-            xf = x.astype(jnp.float32)
+            # at-least-f32 moments: bf16 activations promote to f32; f64
+            # inputs (x64 parity controls) keep f64 so moment rounding does
+            # not floor the achievable cross-path agreement at f32 noise
+            xf = x.astype(jnp.promote_types(x.dtype, jnp.float32))
             mean = jnp.mean(xf, axis=reduce_axes)
-            var = jnp.mean(jnp.square(xf), axis=reduce_axes) - jnp.square(mean)
+            meansq = jnp.mean(jnp.square(xf), axis=reduce_axes)
+            sync_axis = current_bn_sync_axis()
+            if sync_axis is not None and not self.is_initializing():
+                # inside a shard_map over equal shards: pmean of per-shard
+                # moments = global moments (sync-BN over the named axis)
+                mean = jax.lax.pmean(mean, sync_axis)
+                meansq = jax.lax.pmean(meansq, sync_axis)
+            var = meansq - jnp.square(mean)
             if not self.is_initializing():
                 m = jnp.asarray(momentum, jnp.float32)
                 ra_mean.value = ra_mean.value * m + mean * (1.0 - m)

@@ -19,8 +19,10 @@ from pointasnl_tpu.parallel.sharded_knn import (
     knn_point_sharded,
 )
 from pointasnl_tpu.parallel.whole_scene import (
+    make_scene_train_step_sharded,
     predict_scan_sharded,
     predict_scene_sharded,
+    scene_apply_sharded,
 )
 
 __all__ = [
@@ -29,9 +31,11 @@ __all__ = [
     "knn_point_query_sharded",
     "knn_point_sharded",
     "make_mesh",
+    "make_scene_train_step_sharded",
     "predict_scan_sharded",
     "predict_scene_sharded",
     "replicate",
+    "scene_apply_sharded",
     "setup_data_parallel",
     "shard_batch",
 ]

@@ -145,7 +145,9 @@ def farthest_point_sample_sharded(npoint: int, xyz: jax.Array,
             return min_dist, nxt, idxs
 
         init = (
-            jnp.full((B, shard_n), jnp.float32(1e38)),
+            # xyz.dtype, not f32: the body's minimum() promotes with the
+            # distance dtype and fori_loop requires a fixed carry type
+            jnp.full((B, shard_n), 1e38, x.dtype),
             jnp.zeros((B,), jnp.int32),
             jnp.zeros((B, npoint), jnp.int32),
         )

@@ -1,4 +1,4 @@
-"""Point-sharded whole-scene inference for both segmentation models.
+"""Point-sharded whole-scene forward + training for the segmentation models.
 
 Single-chip single-pass inference tops out at the chip's memory (the
 spatial kNN kernel reaches N=2097152 with its two-level visit ordering).
@@ -23,6 +23,19 @@ named by VERDICT r2 item 2), every O(N)-sized object now stays sharded:
      all_gathered (B, N/8, 64) level-1 output — N/32 and below are small;
   5. the final interpolation decode (fa_layer4) and head convs run on the
      local shard; logits leave sharded on the point axis.
+
+Training (r4, VERDICT r3 item 7): `scene_apply_sharded(..., training=True)`
+runs the same orchestration in training mode — BatchNorms compute batch
+moments with a pmean over the point-sharding axis (sync-BN: equal shards
+make pmean-of-shard-moments exactly the global moments,
+nn/layers.bn_sync_axis), per-submodule batch_stats updates are collected and
+returned, and the head dropout draws a per-device mask. Gradients flow
+through the ring attention, the `_ring_take` gathers (fori_loop with static
+bounds lowers to scan — reverse-differentiable), and the all_gathers.
+`make_scene_train_step_sharded` wraps it into a jitted optimizer step with
+the standard segmentation loss; tests/test_whole_scene_train.py verifies
+training-mode gradients against the monolithic model on the 8-device CPU
+mesh.
 
 Memory accounting (B=1, f32, per device, dominant terms):
   - r2 design: layer1 grouped tensor (N/8 x 32 x 67) ~ 1072 B/pt + stem
@@ -58,7 +71,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from pointasnl_tpu import ops
 from pointasnl_tpu.nn.blockwise import ring_attention_local
-from pointasnl_tpu.nn.layers import PointConv
+from pointasnl_tpu.nn.layers import PointConv, bn_sync_axis
 from pointasnl_tpu.nn.pointasnl import (
     AdaptiveSampling,
     PointASNLDecodingLayer,
@@ -87,44 +100,81 @@ def _vars(variables, name):
     return out
 
 
-def _conv(variables, path, ch, *, act="relu", bn=True):
-    """Apply a named PointConv with its parameter subtree (eval mode)."""
-    activation = nn.relu if act == "relu" else (
-        nn.leaky_relu if act == "leaky" else None
-    )
-    mod = PointConv(ch, bn=bn, activation=activation)
+class _Ctx:
+    """Submodule application context for the sharded orchestrations.
 
-    def run(x):
-        return mod.apply(_vars(variables, path), x, training=False,
-                         bn_momentum=0.9)
+    Eval (training=False): frozen batch stats, nothing collected — the
+    original inference behavior. Train: submodules apply with
+    mutable=['batch_stats'] under the scheduled momentum, and each
+    submodule's update subtree is collected keyed by its '/'-joined path
+    (merge back with `merge_batch_stats`).
+    """
 
-    return run
+    def __init__(self, variables, *, training: bool = False, bn_momentum=0.9):
+        self.variables = variables
+        self.training = training
+        self.bn_momentum = bn_momentum if training else 0.9
+        self.updates: dict = {}
+
+    def apply(self, mod, path, *args, **kw):
+        v = _vars(self.variables, path)
+        if not self.training:
+            return mod.apply(v, *args, training=False, bn_momentum=0.9, **kw)
+        out, ups = mod.apply(
+            v, *args, training=True, bn_momentum=self.bn_momentum,
+            mutable=["batch_stats"], **kw,
+        )
+        bs = ups.get("batch_stats", {})
+        if bs:
+            self.updates[path] = bs
+        return out
+
+    def conv(self, path, ch, *, act="relu", bn=True):
+        """Apply a named PointConv with its parameter subtree."""
+        activation = nn.relu if act == "relu" else (
+            nn.leaky_relu if act == "leaky" else None
+        )
+        mod = PointConv(ch, bn=bn, activation=activation)
+        return lambda x: self.apply(mod, path, x)
 
 
-def _sa_local_tail(variables, prefix, grouped_xyz, grouped_feat, new_xyz,
+def merge_batch_stats(batch_stats: dict, updates: dict) -> dict:
+    """New batch_stats tree with each '/'-path's subtree replaced."""
+    out = jax.tree_util.tree_map(lambda x: x, batch_stats)  # shallow-ish copy
+
+    def set_path(tree, parts, value):
+        node = dict(tree)
+        if len(parts) == 1:
+            node[parts[0]] = value
+        else:
+            node[parts[0]] = set_path(node.get(parts[0], {}), parts[1:], value)
+        return node
+
+    for path, sub in updates.items():
+        out = set_path(out, path.split("/"), sub)
+    return out
+
+
+def _sa_local_tail(ctx: _Ctx, prefix, grouped_xyz, grouped_feat, new_xyz,
                    mlp, nl):
     """PointASNLSetAbstraction's per-query tail (nn/pointasnl.py:319-361)
     on pre-gathered groups: normalize, skip, local convs, PointConv
     aggregation, +skip +NL, final aggregation conv."""
-    conv = lambda path, ch, **kw: _conv(variables, path, ch, **kw)
     gx = grouped_xyz - new_xyz[:, :, None, :]
     new_point = jnp.concatenate([gx, grouped_feat], axis=-1)
     skip = jnp.max(new_point, axis=2)
-    skip = conv(f"{prefix}/skip", mlp[-1])(skip)
+    skip = ctx.conv(f"{prefix}/skip", mlp[-1])(skip)
     for i, ch in enumerate(mlp[:-1]):
-        new_point = conv(f"{prefix}/conv{i}", ch)(new_point)
-    w = WeightNetHidden((32,)).apply(
-        _vars(variables, f"{prefix}/weight_net"), gx,
-        training=False, bn_momentum=0.9,
-    )
+        new_point = ctx.conv(f"{prefix}/conv{i}", ch)(new_point)
+    w = ctx.apply(WeightNetHidden((32,)), f"{prefix}/weight_net", gx)
     new_point = jnp.einsum("bmkc,bmkw->bmcw", new_point, w)
     Bm, Mm, Cm, Wm = new_point.shape
     new_point = new_point.reshape(Bm, Mm, Cm * Wm)
-    new_point = conv(f"{prefix}/after_conv", mlp[-1])(new_point)
+    new_point = ctx.conv(f"{prefix}/after_conv", mlp[-1])(new_point)
     new_point = new_point + skip
     if nl is not None:
         new_point = new_point + nl
-    return conv(f"{prefix}/aggregation", mlp[-1])(new_point)
+    return ctx.conv(f"{prefix}/aggregation", mlp[-1])(new_point)
 
 
 def _ring_take(sup_loc, idx, *, axis: str, axis_size: int, shard_n: int):
@@ -136,7 +186,10 @@ def _ring_take(sup_loc, idx, *, axis: str, axis_size: int, shard_n: int):
     at step j the device holds the shard of original owner (sid - j) mod D
     and claims the indices that fall in its range. Exact (each global index
     is owned by exactly one shard), O(shard-size) memory per step, no
-    all_gather. Works for any dtype (features or int32 index rows).
+    all_gather. Works for any dtype (features or int32 index rows), and is
+    reverse-differentiable (static trip count -> scan; the gather's VJP
+    scatter-adds into the visiting shard, the ppermute's VJP reverses the
+    ring).
     """
     sid = lax.axis_index(axis)
     B, M, K = idx.shape
@@ -160,35 +213,50 @@ def _ring_take(sup_loc, idx, *, axis: str, axis_size: int, shard_n: int):
     return out.reshape(B, M, K, C)
 
 
-def predict_scene_sharded(
+def scene_apply_sharded(
     variables,
     points: jax.Array,
     mesh: Mesh,
     *,
+    training: bool = False,
+    bn_momentum=0.9,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_keep: float = 0.5,
     num_class: int = 21,
     feature_channel: int = 0,
     nl_kv_block_size: Optional[int] = 4096,
     axis: str = "data",
-) -> jax.Array:
-    """Eval-mode pointasnl_sem_seg_res logits, point-sharded over `axis`.
+):
+    """pointasnl_sem_seg_res forward, point-sharded over `axis`.
 
     Args:
-      variables: {'params', 'batch_stats'} of a trained PointASNLSemSegRes.
+      variables: {'params', 'batch_stats'} of a PointASNLSemSegRes.
       points: (B, N, 3 + feature_channel); N divisible by 256 * mesh size.
       mesh: the device mesh; `axis` names the point-sharding axis.
+      training: True runs training-mode BN (sync over `axis` via
+        nn.layers.bn_sync_axis) and head dropout, and collects batch_stats
+        updates. False is the inference path (frozen stats, no dropout).
+      bn_momentum: scheduled BN EMA momentum (traced; training only).
+      dropout_rng: head-dropout PRNG key; None disables dropout even in
+        training (deterministic gradients — how the parity tests run).
+      dropout_keep: keep probability of the head dropout (model 'dp', 0.5).
       nl_kv_block_size: streams the REPLICATED levels' (2-4) non-local K/V
         in chunks (memory-bounded attention); None uses dense maps there.
         Level 1's non-local cell always runs ring attention over the
         sharded point axis — its K/V are never replicated.
 
     Returns:
-      (B, N, num_class) logits, sharded on the point axis.
+      (logits, l1_xyz, bn_updates): logits (B, N, num_class) sharded on the
+      point axis; l1_xyz (B, N/8, 3) sharded likewise (for the repulsion
+      loss — sharded so its cotangent transposes exactly, see body note);
+      bn_updates — {'path': batch_stats subtree} dict (empty when not
+      training), mergeable with `merge_batch_stats`.
     """
     B, N, _ = points.shape
     D = mesh.shape[axis]
     if N % (256 * D):
         raise ValueError(
-            f"predict_scene_sharded: N={N} must divide by 256 * {D} "
+            f"scene_apply_sharded: N={N} must divide by 256 * {D} "
             "(deepest encoder stride x mesh axis)"
         )
     shard_n = N // D
@@ -206,18 +274,8 @@ def predict_scene_sharded(
     _, knn0_idx = knn_point_query_sharded(32, xyz, xyz, mesh, axis=axis)
     fps1_idx = farthest_point_sample_sharded(nps[0], xyz, mesh, axis=axis)
 
-    def apply(mod, name, *args, **kw):
-        return mod.apply(_vars(variables, name), *args, training=False,
-                         bn_momentum=0.9, **kw)
-
-    def conv(path, ch, **kw):
-        return _conv(variables, path, ch, **kw)
-
-    def sa_local_tail(prefix, grouped_xyz, grouped_feat, new_xyz, mlp, nl):
-        return _sa_local_tail(variables, prefix, grouped_xyz, grouped_feat,
-                              new_xyz, mlp, nl)
-
     def body(x_loc, knn0_loc, fps1):
+        ctx = _Ctx(variables, training=training, bn_momentum=bn_momentum)
         sid = lax.axis_index(axis)
         if feature_channel > 0:
             sh_xyz, sh_feat = x_loc[..., :3], x_loc[..., 3:]
@@ -233,8 +291,8 @@ def predict_scene_sharded(
         # concat [xyz || feat]; gathering the concat directly is identical.
         sup0 = jnp.concatenate([sh_xyz, sh_feat], axis=-1)
         g0 = take(sup0, knn0_loc)  # (B, shard_n, 32, 3 + C0)
-        l0p_loc = sa_local_tail(
-            "layer0", g0[..., :3], g0, sh_xyz, (16, 16, 32), None
+        l0p_loc = _sa_local_tail(
+            ctx, "layer0", g0[..., :3], g0, sh_xyz, (16, 16, 32), None
         )  # (B, shard_n, 32)
 
         # ---- level 1: QUERY-SHARDED (the O(N)-heavy level) ----
@@ -245,29 +303,29 @@ def predict_scene_sharded(
         g1_xyz = g1[..., :3]
 
         # layer1_1: AS shift, then ring non-local + local tail
-        l1_xyz_loc, l1_feat = AdaptiveSampling(8, bn=True).apply(
-            _vars(variables, "layer1_1/adaptive_sampling"),
-            g1_xyz, g1, training=False, bn_momentum=0.9,
+        l1_xyz_loc, l1_feat = ctx.apply(
+            AdaptiveSampling(8, bn=True), "layer1_1/adaptive_sampling",
+            g1_xyz, g1,
         )  # (B, qn1, 3), (B, qn1, 35)
         # PointNonLocalCell with sharded K/V: the 1x1 K/V projection is
         # positionwise, so applying it to the LOCAL stem shard is exact;
         # the softmax runs as a ring over the point axis.
         bottleneck = 32  # max(32, C//2) with C = 32 stem channels
-        kv = conv("layer1_1/nonlocal/conv_kv", 2 * bottleneck, act=None)(l0p_loc)
-        q1 = conv("layer1_1/nonlocal/conv_query", bottleneck, act=None)(l1_feat)
+        kv = ctx.conv("layer1_1/nonlocal/conv_kv", 2 * bottleneck, act=None)(l0p_loc)
+        q1 = ctx.conv("layer1_1/nonlocal/conv_query", bottleneck, act=None)(l1_feat)
         nl_out = ring_attention_local(
             q1, kv[..., :bottleneck], kv[..., bottleneck:],
             axis=axis, axis_size=D, scaled=True,
         )
-        nl_out = conv("layer1_1/nonlocal/conv_back_project", 64)(nl_out)
-        l1_1 = sa_local_tail(
-            "layer1_1", g1_xyz, g1, l1_xyz_loc, (32, 32, 64), nl_out
+        nl_out = ctx.conv("layer1_1/nonlocal/conv_back_project", 64)(nl_out)
+        l1_1 = _sa_local_tail(
+            ctx, "layer1_1", g1_xyz, g1, l1_xyz_loc, (32, 32, 64), nl_out
         )
 
         # layer1_2: as_neighbor=0 -> AS degenerates to the first (self)
         # neighbor (nn/pointasnl.py:129-130); same groups, no NL.
         c2_xyz = g1_xyz[:, :, 0, :]
-        l1_2 = sa_local_tail("layer1_2", g1_xyz, g1, c2_xyz, (64, 64), None)
+        l1_2 = _sa_local_tail(ctx, "layer1_2", g1_xyz, g1, c2_xyz, (64, 64), None)
         l1_2 = l1_2 + l1_1
 
         # levels 2-4 + decode to fa_layer3: replicated (N/32 and below are
@@ -275,47 +333,159 @@ def predict_scene_sharded(
         l1_xyz = lax.all_gather(l1_xyz_loc, axis, axis=1, tiled=True)
         l1_2 = lax.all_gather(l1_2, axis, axis=1, tiled=True)
 
-        l2_xyz, l2_1 = apply(sa(nps[1], (64, 64, 128), 4, True), "layer2_1",
-                             l1_xyz, l1_2)
-        _, l2_2 = apply(sa(nps[1], (128, 128), 0, False), "layer2_2",
-                        l2_xyz, l2_1)
+        l2_xyz, l2_1 = ctx.apply(sa(nps[1], (64, 64, 128), 4, True), "layer2_1",
+                                 l1_xyz, l1_2)
+        _, l2_2 = ctx.apply(sa(nps[1], (128, 128), 0, False), "layer2_2",
+                            l2_xyz, l2_1)
         l2_2 = l2_2 + l2_1
 
-        l3_xyz, l3_1 = apply(sa(nps[2], (128, 128, 256), 0, True), "layer3_1",
-                             l2_xyz, l2_2)
-        _, l3_2 = apply(sa(nps[2], (256, 256), 0, False), "layer3_2",
-                        l3_xyz, l3_1)  # the reference's *_1-input quirk
+        l3_xyz, l3_1 = ctx.apply(sa(nps[2], (128, 128, 256), 0, True), "layer3_1",
+                                 l2_xyz, l2_2)
+        _, l3_2 = ctx.apply(sa(nps[2], (256, 256), 0, False), "layer3_2",
+                            l3_xyz, l3_1)  # the reference's *_1-input quirk
         l3_2 = l3_2 + l3_1
 
-        l4_xyz, l4_1 = apply(sa(nps[3], (256, 256, 512), 0, True), "layer4_1",
-                             l3_xyz, l3_2)
-        _, l4_2 = apply(sa(nps[3], (512, 512), 0, False), "layer4_2",
-                        l4_xyz, l4_1)
+        l4_xyz, l4_1 = ctx.apply(sa(nps[3], (256, 256, 512), 0, True), "layer4_1",
+                                 l3_xyz, l3_2)
+        _, l4_2 = ctx.apply(sa(nps[3], (512, 512), 0, False), "layer4_2",
+                            l4_xyz, l4_1)
         l4_2 = l4_2 + l4_1
 
-        l3_pts = apply(PointNetFPModule(mlp=(512, 512)), "fa_layer1",
-                       l3_xyz, l4_xyz, l3_2, l4_2)
-        l2_pts = apply(PointNetFPModule(mlp=(256, 256)), "fa_layer2",
-                       l2_xyz, l3_xyz, l2_2, l3_pts)
-        l1_pts = apply(PointNetFPModule(mlp=(256, 128)), "fa_layer3",
-                       l1_xyz, l2_xyz, l1_2, l2_pts)
+        l3_pts = ctx.apply(PointNetFPModule(mlp=(512, 512)), "fa_layer1",
+                           l3_xyz, l4_xyz, l3_2, l4_2)
+        l2_pts = ctx.apply(PointNetFPModule(mlp=(256, 256)), "fa_layer2",
+                           l2_xyz, l3_xyz, l2_2, l3_pts)
+        l1_pts = ctx.apply(PointNetFPModule(mlp=(256, 128)), "fa_layer3",
+                           l1_xyz, l2_xyz, l1_2, l2_pts)
 
         # final decode + head back on the local shard
-        l0_out = apply(PointNetFPModule(mlp=(128, 128, 128)), "fa_layer4",
-                       sh_xyz, l1_xyz, l0p_loc, l1_pts)
-        net = conv("fc1", 128, act="leaky")(l0_out)
-        # dropout ('dp') is identity at inference and holds no parameters
-        logits = conv("fc0", num_class, act=None, bn=False)(net)
-        return logits
+        l0_out = ctx.apply(PointNetFPModule(mlp=(128, 128, 128)), "fa_layer4",
+                           sh_xyz, l1_xyz, l0p_loc, l1_pts)
+        net = ctx.conv("fc1", 128, act="leaky")(l0_out)
+        # head dropout (model 'dp', keep 0.5): per-device mask, identity at
+        # inference or when no rng is supplied (deterministic-grad tests)
+        if training and dropout_rng is not None and dropout_keep < 1.0:
+            rng_loc = jax.random.fold_in(dropout_rng, sid)
+            keep = jax.random.bernoulli(rng_loc, dropout_keep, net.shape)
+            net = jnp.where(keep, net / dropout_keep, 0.0).astype(net.dtype)
+        logits = ctx.conv("fc0", num_class, act=None, bn=False)(net)
+        # l1_xyz leaves SHARDED (l1_xyz_loc), not as the replicated
+        # all_gathered copy: with check_vma=False, a replicated (P())
+        # output's transpose over-counts cotangents by the axis size —
+        # a sharded output transposes exactly (each device owns a distinct
+        # cotangent block). The BN updates ARE safe as P(): they are
+        # pmean'd (or identical-replicated) values that the loss never
+        # differentiates through.
+        return logits, l1_xyz_loc, ctx.updates
 
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(None, axis, None), P(None, axis, None), P()),
-        out_specs=P(None, axis, None),
+        out_specs=(P(None, axis, None), P(None, axis, None), P()),
         check_vma=False,
     )
-    return fn(points, knn0_idx, fps1_idx)
+    with bn_sync_axis(axis if training else None):
+        return fn(points, knn0_idx, fps1_idx)
+
+
+def predict_scene_sharded(
+    variables,
+    points: jax.Array,
+    mesh: Mesh,
+    *,
+    num_class: int = 21,
+    feature_channel: int = 0,
+    nl_kv_block_size: Optional[int] = 4096,
+    axis: str = "data",
+) -> jax.Array:
+    """Eval-mode pointasnl_sem_seg_res logits, point-sharded over `axis`.
+
+    Returns (B, N, num_class) logits, sharded on the point axis. See
+    `scene_apply_sharded` for the orchestration and knobs.
+    """
+    logits, _, _ = scene_apply_sharded(
+        variables, points, mesh,
+        training=False,
+        num_class=num_class,
+        feature_channel=feature_channel,
+        nl_kv_block_size=nl_kv_block_size,
+        axis=axis,
+    )
+    return logits
+
+
+def make_scene_train_step_sharded(
+    mesh: Mesh,
+    *,
+    bn_schedule,
+    num_class: int = 21,
+    feature_channel: int = 0,
+    nl_kv_block_size: Optional[int] = 4096,
+    axis: str = "data",
+    uniform_weight: float = 0.01,
+    weights_decay: float = 1e-4,
+    repulsion_radius: float = 0.07,
+    dropout_keep: float = 0.5,
+    use_dropout: bool = True,
+):
+    """Jitted point-sharded whole-scene training step (VERDICT r3 item 7).
+
+    The TPU-native capability the single-GPU reference cannot express: ONE
+    optimizer step over an entire scene, with every O(N) tensor sharded over
+    the mesh — the same segmentation loss as train/steps.py's crop-based
+    step (weighted CE + repulsion + L2, nn/losses.py), gradients flowing
+    through the ring non-local attention and the ring-gathered neighbor
+    fetches, and sync-BN over the point axis.
+
+    batch = {'points': (B,N,3+fc), 'labels': (B,N), 'smpw': (B,N)} — place
+    them sharded on the point axis (dim 1) for true O(N/D) memory.
+    """
+    from pointasnl_tpu.nn.losses import segmentation_loss
+
+    def train_step(state, batch, dropout_rng):
+        bn_momentum = bn_schedule(state.step)
+        step_rng = (
+            jax.random.fold_in(dropout_rng, state.step) if use_dropout else None
+        )
+
+        def loss_fn(params):
+            logits, l1_xyz, updates = scene_apply_sharded(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["points"], mesh,
+                training=True,
+                bn_momentum=bn_momentum,
+                dropout_rng=step_rng,
+                dropout_keep=dropout_keep,
+                num_class=num_class,
+                feature_channel=feature_channel,
+                nl_kv_block_size=nl_kv_block_size,
+                axis=axis,
+            )
+            loss, aux = segmentation_loss(
+                logits, batch["labels"], batch["smpw"], params,
+                l1_xyz=l1_xyz,
+                uniform_weight=uniform_weight,
+                weights_decay=weights_decay,
+                radius=repulsion_radius,
+            )
+            return loss, (aux, updates, logits)
+
+        (loss, (aux, updates, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(
+            grads=grads,
+            batch_stats=merge_batch_stats(state.batch_stats, updates),
+        )
+        preds = jnp.argmax(logits, axis=-1)
+        correct = (preds == batch["labels"]).astype(jnp.float32)
+        metrics = dict(aux)
+        metrics["loss"] = loss
+        metrics["accuracy"] = jnp.mean(correct)
+        return new_state, metrics
+
+    return jax.jit(train_step)
 
 
 def predict_scan_sharded(
@@ -393,14 +563,8 @@ def predict_scan_sharded(
     _, knn0_idx = knn_point_query_sharded(32, xyz, xyz, mesh, axis=axis)
     fps1_idx = farthest_point_sample_sharded(nps[0], xyz, mesh, axis=axis)
 
-    def apply(mod, name, *args, **kw):
-        return mod.apply(_vars(variables, name), *args, training=False,
-                         bn_momentum=0.9, **kw)
-
-    def conv(path, ch, **kw):
-        return _conv(variables, path, ch, **kw)
-
     def body(x_loc, knn0_loc, fps1):
+        ctx = _Ctx(variables)
         sid = lax.axis_index(axis)
         sh_xyz = x_loc[..., :3]
         # models/sem_seg.py:40-45 — xyz doubles as the feature when the
@@ -420,23 +584,23 @@ def predict_scan_sharded(
         g1_xyz = g1[..., :3]
 
         # AS shift (as_neighbor=8), then ring non-local + the local tail.
-        l1_xyz_loc, l1_feat = AdaptiveSampling(8, bn=True).apply(
-            _vars(variables, "layer1/adaptive_sampling"),
-            g1_xyz, g1, training=False, bn_momentum=0.9,
+        l1_xyz_loc, l1_feat = ctx.apply(
+            AdaptiveSampling(8, bn=True), "layer1/adaptive_sampling",
+            g1_xyz, g1,
         )  # (B, qn1, 3), (B, qn1, 3 + C)
         # PointNonLocalCell with sharded K/V: the 1x1 K/V projection is
         # positionwise (running BN stats at eval), so applying it to the
         # LOCAL input shard is exact; the softmax runs as a ring.
         bottleneck = max(32, C // 2)
-        kv = conv("layer1/nonlocal/conv_kv", 2 * bottleneck, act=None)(sh_feat)
-        q1 = conv("layer1/nonlocal/conv_query", bottleneck, act=None)(l1_feat)
+        kv = ctx.conv("layer1/nonlocal/conv_kv", 2 * bottleneck, act=None)(sh_feat)
+        q1 = ctx.conv("layer1/nonlocal/conv_query", bottleneck, act=None)(l1_feat)
         nl_out = ring_attention_local(
             q1, kv[..., :bottleneck], kv[..., bottleneck:],
             axis=axis, axis_size=D, scaled=True,
         )
-        nl_out = conv("layer1/nonlocal/conv_back_project", 64)(nl_out)
+        nl_out = ctx.conv("layer1/nonlocal/conv_back_project", 64)(nl_out)
         l1_loc = _sa_local_tail(
-            variables, "layer1", g1_xyz, g1, l1_xyz_loc, (32, 32, 64), nl_out
+            ctx, "layer1", g1_xyz, g1, l1_xyz_loc, (32, 32, 64), nl_out
         )
 
         # levels 2-4 + decode to fa_layer3: replicated (N/32 and below);
@@ -444,19 +608,19 @@ def predict_scan_sharded(
         l1_xyz = lax.all_gather(l1_xyz_loc, axis, axis=1, tiled=True)
         l1_points = lax.all_gather(l1_loc, axis, axis=1, tiled=True)
 
-        l2_xyz, l2_points = apply(sa(nps[1], (64, 64, 128), 4), "layer2",
-                                  l1_xyz, l1_points)
-        l3_xyz, l3_points = apply(sa(nps[2], (128, 128, 256), 0), "layer3",
-                                  l2_xyz, l2_points)
-        l4_xyz, l4_points = apply(sa(nps[3], (256, 256, 512), 0), "layer4",
-                                  l3_xyz, l3_points)
+        l2_xyz, l2_points = ctx.apply(sa(nps[1], (64, 64, 128), 4), "layer2",
+                                      l1_xyz, l1_points)
+        l3_xyz, l3_points = ctx.apply(sa(nps[2], (128, 128, 256), 0), "layer3",
+                                      l2_xyz, l2_points)
+        l4_xyz, l4_points = ctx.apply(sa(nps[3], (256, 256, 512), 0), "layer4",
+                                      l3_xyz, l3_points)
 
-        l3_points = apply(PointASNLDecodingLayer(nsample=16, mlp=(512, 512)),
-                          "fa_layer1", l3_xyz, l4_xyz, l3_points, l4_points)
-        l2_points = apply(PointASNLDecodingLayer(nsample=16, mlp=(256, 256)),
-                          "fa_layer2", l2_xyz, l3_xyz, l2_points, l3_points)
-        l1_pts = apply(PointASNLDecodingLayer(nsample=16, mlp=(256, 128)),
-                       "fa_layer3", l1_xyz, l2_xyz, l1_points, l2_points)
+        l3_points = ctx.apply(PointASNLDecodingLayer(nsample=16, mlp=(512, 512)),
+                              "fa_layer1", l3_xyz, l4_xyz, l3_points, l4_points)
+        l2_points = ctx.apply(PointASNLDecodingLayer(nsample=16, mlp=(256, 256)),
+                              "fa_layer2", l2_xyz, l3_xyz, l2_points, l3_points)
+        l1_pts = ctx.apply(PointASNLDecodingLayer(nsample=16, mlp=(256, 128)),
+                           "fa_layer3", l1_xyz, l2_xyz, l1_points, l2_points)
 
         # ---- fa_layer4 on the local shard (nn/pointasnl.py:383-441) ----
         # 3-NN interpolation from the replicated l1 set is per-query;
@@ -472,22 +636,20 @@ def predict_scan_sharded(
         idx16 = knn0_loc[..., :16]
         g4 = take(jnp.concatenate([sh_xyz, interp_loc], axis=-1), idx16)
         g4_xyz = g4[..., :3] - sh_xyz[:, :, None, :]
-        wk = WeightNetHidden((32,)).apply(
-            _vars(variables, "fa_layer4/decode_weight_net"), g4_xyz,
-            training=False, bn_momentum=0.9,
-        )
+        wk = ctx.apply(WeightNetHidden((32,)), "fa_layer4/decode_weight_net",
+                       g4_xyz)
         newp = jnp.einsum("bnkc,bnkw->bncw", g4, wk)
         Bn, Nn, Cn, Wn = newp.shape
         newp = newp.reshape(Bn, Nn, Cn * Wn)
-        newp = conv("fa_layer4/decode_after_conv", 128)(newp)
+        newp = ctx.conv("fa_layer4/decode_after_conv", 128)(newp)
         # skip concat with points1 = the raw l0 features (sharded input)
         newp = jnp.concatenate([newp, sh_feat], axis=-1)
-        newp = conv("fa_layer4/conv_1", 128)(newp)
-        newp = conv("fa_layer4/conv_2", 128)(newp)
+        newp = ctx.conv("fa_layer4/conv_1", 128)(newp)
+        newp = ctx.conv("fa_layer4/conv_2", 128)(newp)
 
-        net = conv("fc1", 128)(newp)
+        net = ctx.conv("fc1", 128)(newp)
         # dropout ('dp1') is identity at inference and holds no parameters
-        logits = conv("fc2", num_class, act=None, bn=False)(net)
+        logits = ctx.conv("fc2", num_class, act=None, bn=False)(net)
         return logits
 
     fn = shard_map(
