@@ -12,8 +12,15 @@ Fingerprint contents (r4, VERDICT item 2): the /proc/cpuinfo `flags` line is
 NOT sufficient — XLA targets pseudo-features like `+prefer-no-gather` chosen
 from the CPU *model*, not its flag list, and round 3's dryrun loaded foreign
 AOT entries ("could lead to SIGILL") from a flag-identical host of a
-different model. The fingerprint is therefore flags + `model name` +
-jaxlib version (serialization format changes across releases).
+different model. Nor is the `model name` line: virtualized hosts report a
+generic string ("Intel(R) Xeon(R) Processor @ 2.10GHz") shared across
+microarchitectures, while LLVM's host detection keys off CPUID
+family/model/stepping — r4 still saw foreign `+prefer-no-scatter` entries
+load inside a flags+model-name-identical cache dir. The fingerprint is
+therefore flags + every CPUID-identity line (`vendor_id`, `cpu family`,
+`model`, `model name`, `stepping`, `microcode` — the gather/scatter
+mitigation tunings depend on the microcode revision) + jaxlib version
+(serialization format changes across releases).
 
 This module must stay importable before jax backend init. Importing
 `jaxlib.version` is safe (no backend is created); if even that import fails
@@ -47,12 +54,22 @@ def host_fingerprint(cpuinfo_text: str | None = None,
                 cpuinfo_text = f.read()
         except OSError:
             cpuinfo_text = platform.machine()
-    lines = cpuinfo_text.splitlines()
-    flags = next((l for l in lines if l.startswith("flags")), cpuinfo_text)
-    model = next((l for l in lines if l.startswith("model name")), "")
+    fields: dict[str, str] = {}
+    for line in cpuinfo_text.splitlines():
+        name, sep, value = line.partition(":")
+        if sep:
+            fields.setdefault(name.strip(), value.strip())
+    flags = fields.get("flags", cpuinfo_text)
+    identity = [
+        f"{name}:{fields.get(name, '')}"
+        for name in (
+            "vendor_id", "cpu family", "model", "model name",
+            "stepping", "microcode",
+        )
+    ]
     if jaxlib_version is None:
         jaxlib_version = _jaxlib_version()
-    key = "\n".join([flags, model, jaxlib_version])
+    key = "\n".join([flags, *identity, jaxlib_version])
     return hashlib.sha1(key.encode()).hexdigest()[:12]
 
 

@@ -43,6 +43,30 @@ def test_different_flags_disjoint():
     assert a != b
 
 
+def test_same_model_name_different_cpuid_disjoint():
+    # The r4 failure class: virtualized hosts share a GENERIC model-name
+    # string across microarchitectures, but LLVM host detection (and the
+    # gather/scatter mitigation tunings) key off CPUID family/model/stepping
+    # and the microcode revision — each must separate the cache dirs.
+    base = (
+        "processor\t: 0\nvendor_id\t: GenuineIntel\ncpu family\t: 6\n"
+        "model\t\t: {model}\n{name}\nstepping\t: {step}\n"
+        "microcode\t: {ucode}\n{flags}\n"
+    )
+    a = cache.host_fingerprint(
+        base.format(model=207, name=MODEL_A, step=2, ucode="0x1", flags=FLAGS),
+        jaxlib_version="0.9.0",
+    )
+    for model, step, ucode in ((143, 2, "0x1"), (207, 4, "0x1"),
+                               (207, 2, "0x2b000620")):
+        b = cache.host_fingerprint(
+            base.format(model=model, name=MODEL_A, step=step, ucode=ucode,
+                        flags=FLAGS),
+            jaxlib_version="0.9.0",
+        )
+        assert a != b, (model, step, ucode)
+
+
 def test_different_jaxlib_disjoint():
     a = cache.host_fingerprint(_cpuinfo(MODEL_A), jaxlib_version="0.9.0")
     b = cache.host_fingerprint(_cpuinfo(MODEL_A), jaxlib_version="0.9.1")
