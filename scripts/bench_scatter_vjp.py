@@ -10,7 +10,10 @@ bandwidth cost. This script measures both, per layer shape, fetch-forced.
 Run: PYTHONPATH=/root/.axon_site:/root/repo python scripts/bench_scatter_vjp.py
 """
 
+import sys
 import time
+
+sys.path.insert(0, ".")
 
 import jax
 import jax.numpy as jnp
@@ -62,22 +65,32 @@ def main():
                                       idx_.reshape(B, M * K), N,
                                       precision=lax.Precision.HIGHEST)
 
+        def onehot_split2(dout_, idx_=idx):
+            return onehot_scatter_add(dout_.reshape(B, M * K, C),
+                                      idx_.reshape(B, M * K), N,
+                                      precision="split2")
+
         f1 = jax.jit(xla_vjp)
         f2 = jax.jit(onehot)
         f3 = jax.jit(onehot_hi)
+        f4 = jax.jit(onehot_split2)
         a = np.asarray(f1(dout))
         b = np.asarray(f2(dout))
         c_ = np.asarray(f3(dout))
+        d_ = np.asarray(f4(dout))
         err = np.abs(a - b).max() / (np.abs(a).max() + 1e-9)
         err_hi = np.abs(a - c_).max() / (np.abs(a).max() + 1e-9)
+        err_s2 = np.abs(a - d_).max() / (np.abs(a).max() + 1e-9)
         t_xla = timeit(f1, dout)
         t_oh = timeit(f2, dout)
         t_hi = timeit(f3, dout)
+        t_s2 = timeit(f4, dout)
         flops = 2 * B * M * K * N * C
         print(
             f"{name}: xla_scatter {t_xla:.2f} ms | onehot-bf16 {t_oh:.2f} ms "
             f"(rel_err {err:.2e}) | onehot-HIGHEST {t_hi:.2f} ms "
-            f"(rel_err {err_hi:.2e}) [{flops/1e9:.0f} GFLOP]",
+            f"(rel_err {err_hi:.2e}) | onehot-split2 {t_s2:.2f} ms "
+            f"(rel_err {err_s2:.2e}) [{flops/1e9:.0f} GFLOP]",
             flush=True,
         )
 
