@@ -79,11 +79,11 @@ def main():
 
             train0, frozen0 = split(state.params)
 
-            def loss_fn(train_p, frozen_p):
+            def loss_fn(train_p, frozen_p, pts):
                 params = dict(train_p, **frozen_p)
                 (logits, ep), _ = model.apply(
                     {"params": params, "batch_stats": state.batch_stats},
-                    points, training=True, bn_momentum=bn_sched(0),
+                    pts, training=True, bn_momentum=bn_sched(0),
                     rngs={"dropout": key}, mutable=["batch_stats"],
                 )
                 loss, _ = segmentation_loss(
@@ -93,19 +93,27 @@ def main():
                 return loss
 
             def one(carry, _):
-                train_p, frozen_p = carry
-                loss, g = jax.value_and_grad(loss_fn)(train_p, frozen_p)
+                # Perturb the INPUT by the running loss so no part of the
+                # forward is loop-invariant: with constant points + frozen
+                # lower params, XLA's while-loop LICM hoists the frozen
+                # layers' dense forward out of the scan (measured: the
+                # head-only cut timed BELOW the standalone forward), which
+                # would contaminate every delta with that segment's
+                # hoistable forward cost, not just its backward.
+                train_p, frozen_p, salt = carry
+                pts = points * (1.0 + salt * 1e-20)
+                loss, g = jax.value_and_grad(loss_fn)(train_p, frozen_p, pts)
                 # dependency-chain: nudge the trainable params by the grads
                 new_train = jax.tree_util.tree_map(
                     lambda p, gg: p - 1e-9 * gg.astype(p.dtype), train_p, g
                 )
-                return (new_train, frozen_p), loss
+                return (new_train, frozen_p, loss * 1e-9), loss
 
             def timed(n):
                 @jax.jit
                 def run(train_p, frozen_p):
-                    (tp, _), losses = lax.scan(
-                        one, (train_p, frozen_p), None, length=n
+                    (tp, _, _), losses = lax.scan(
+                        one, (train_p, frozen_p, jnp.float32(0)), None, length=n
                     )
                     return losses[-1] + sum(
                         jnp.sum(l) for l in jax.tree_util.tree_leaves(tp)

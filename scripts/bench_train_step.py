@@ -21,7 +21,7 @@ import numpy as np
 sys.path.insert(0, ".")
 
 
-def step_time_ms(config: str, backend: str, iters=(2, 22)) -> float:
+def step_time_ms(config: str, backend: str, iters=(2, 22), batch_size=None) -> float:
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -38,7 +38,7 @@ def step_time_ms(config: str, backend: str, iters=(2, 22)) -> float:
 
     rng = np.random.RandomState(0)
     if config == "seg":
-        B, N = 4, 10240
+        B, N = batch_size or 4, 10240
         points = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
         batch = {
             "points": points,
@@ -48,7 +48,7 @@ def step_time_ms(config: str, backend: str, iters=(2, 22)) -> float:
         model = PointASNLSemSegRes(num_class=21)
         task = "seg"
     else:
-        B, N = 16, 1024
+        B, N = batch_size or 16, 1024
         points = jnp.asarray(rng.randn(B, N, 3).astype(np.float32))
         batch = {
             "points": points,
