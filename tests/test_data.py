@@ -236,3 +236,50 @@ def test_laserscan_label_split(tmp_path, rng):
     s.open_label(str(label_file))
     np.testing.assert_array_equal(s.sem_label, sem)
     np.testing.assert_array_equal(s.inst_label, inst)
+
+
+def test_laserscan_vis_browser(tmp_path, rng):
+    """The interactive browser: key navigation wraps, panels render, quit closes.
+
+    Runs under Agg — key events are dispatched straight at the handler the
+    way a GUI backend would.
+    """
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from types import SimpleNamespace
+
+    from pointasnl_tpu.data.laserscan import SemLaserScan
+    from pointasnl_tpu.data.laserscan_vis import LaserScanVis
+
+    scan_names, label_names = [], []
+    for i in range(3):
+        n = 200
+        pts = rng.randn(n, 4).astype(np.float32)
+        label = rng.randint(0, 20, n).astype(np.uint32)
+        sf, lf = tmp_path / f"{i:06d}.bin", tmp_path / f"{i:06d}.label"
+        pts.tofile(sf)
+        label.tofile(lf)
+        scan_names.append(str(sf))
+        label_names.append(str(lf))
+
+    s = SemLaserScan(nclasses=20, sem_color_dict={k: [10 * k, 5, 0] for k in range(20)})
+    with pytest.raises(ValueError):
+        LaserScanVis(s, scan_names, label_names, semantics=False, instances=True)
+
+    vis = LaserScanVis(s, scan_names, label_names, semantics=True, instances=True)
+    assert vis.offset == 0 and vis.total == 3
+    vis.key_press(SimpleNamespace(key="n"))
+    assert vis.offset == 1 and vis.action == "next"
+    vis.key_press(SimpleNamespace(key="b"))
+    vis.key_press(SimpleNamespace(key="b"))  # wraps below zero
+    assert vis.offset == 2
+    vis.key_press(SimpleNamespace(key="n"))  # wraps above total
+    assert vis.offset == 0
+
+    out = tmp_path / "frame.png"
+    vis.save_frame(str(out))
+    assert out.stat().st_size > 1000
+
+    vis.key_press(SimpleNamespace(key="q"))
+    assert vis.action == "quit" and vis._closed
