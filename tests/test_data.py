@@ -283,3 +283,37 @@ def test_laserscan_vis_browser(tmp_path, rng):
 
     vis.key_press(SimpleNamespace(key="q"))
     assert vis.action == "quit" and vis._closed
+
+
+def test_visualize_semantic_kitti_cli(tmp_path, rng):
+    """Headless frame dump from a synthetic sequence, GT and predictions modes."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    from pointasnl_tpu.cli.visualize_semantic_kitti import main
+
+    seq = tmp_path / "sequences" / "08"
+    (seq / "velodyne").mkdir(parents=True)
+    (seq / "labels").mkdir()
+    pred = tmp_path / "preds" / "sequences" / "08" / "predictions"
+    pred.mkdir(parents=True)
+    for i in range(2):
+        n = 150
+        rng.randn(n, 4).astype(np.float32).tofile(seq / "velodyne" / f"{i:06d}.bin")
+        rng.randint(0, 20, n).astype(np.uint32).tofile(seq / "labels" / f"{i:06d}.label")
+        rng.randint(0, 20, n).astype(np.uint32).tofile(pred / f"{i:06d}.label")
+
+    out = tmp_path / "frames"
+    n_frames = main([
+        "--data", str(tmp_path), "--out_dir", str(out), "--max_frames", "5",
+    ])
+    assert n_frames == 2
+    assert sorted(p.name for p in out.iterdir()) == ["000000.png", "000001.png"]
+
+    out2 = tmp_path / "frames_pred"
+    n_frames = main([
+        "--data", str(tmp_path), "--predictions", str(tmp_path / "preds"),
+        "--out_dir", str(out2), "--max_frames", "1", "--offset", "1",
+    ])
+    assert n_frames == 1
+    assert (out2 / "000001.png").stat().st_size > 1000
