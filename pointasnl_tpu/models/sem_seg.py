@@ -26,6 +26,7 @@ Array = jax.Array
 class PointASNLSemSeg(nn.Module):
     num_class: int = 21
     feature_channel: int = 0
+    dropout_keep: float = 0.5
     # Whole-scene-scale attention controls (threaded to every NL cell; see
     # nn/blockwise.py and SURVEY.md §5.7). None/False = dense parity path.
     nl_kv_block_size: Optional[int] = None
@@ -82,7 +83,7 @@ class PointASNLSemSeg(nn.Module):
             l0_points, training=training, bn_momentum=bn_momentum
         )
         end_points["feats"] = net
-        net = Dropout(keep_prob=0.5, name="dp1")(net, training=training)
+        net = Dropout(keep_prob=self.dropout_keep, name="dp1")(net, training=training)
         net = PointConv(self.num_class, bn=False, activation=None, name="fc2")(
             net, training=training, bn_momentum=bn_momentum
         )

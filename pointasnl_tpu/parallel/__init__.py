@@ -19,9 +19,11 @@ from pointasnl_tpu.parallel.sharded_knn import (
     knn_point_sharded,
 )
 from pointasnl_tpu.parallel.whole_scene import (
+    make_scan_train_step_sharded,
     make_scene_train_step_sharded,
     predict_scan_sharded,
     predict_scene_sharded,
+    scan_apply_sharded,
     scene_apply_sharded,
 )
 
@@ -31,10 +33,12 @@ __all__ = [
     "knn_point_query_sharded",
     "knn_point_sharded",
     "make_mesh",
+    "make_scan_train_step_sharded",
     "make_scene_train_step_sharded",
     "predict_scan_sharded",
     "predict_scene_sharded",
     "replicate",
+    "scan_apply_sharded",
     "scene_apply_sharded",
     "setup_data_parallel",
     "shard_batch",

@@ -488,17 +488,21 @@ def make_scene_train_step_sharded(
     return jax.jit(train_step)
 
 
-def predict_scan_sharded(
+def scan_apply_sharded(
     variables,
     points: jax.Array,
     mesh: Mesh,
     *,
+    training: bool = False,
+    bn_momentum=0.9,
+    dropout_rng: Optional[jax.Array] = None,
+    dropout_keep: float = 0.5,
     num_class: int = 21,
     feature_channel: int = 0,
     nl_kv_block_size: Optional[int] = 4096,
     axis: str = "data",
-) -> jax.Array:
-    """Eval-mode `pointasnl_sem_seg` logits, point-sharded over `axis`.
+):
+    """`pointasnl_sem_seg` forward, point-sharded over `axis`.
 
     The encoder-decoder variant's whole-scan analog of
     `predict_scene_sharded` (which orchestrates the residual model): used by
@@ -530,16 +534,36 @@ def predict_scan_sharded(
     starts at level 1's output (~(64+3)*4/8 = 34 B/pt, as in the residual
     orchestration).
 
+    Training (r5, VERDICT r4 item 5): with ``training=True`` the same
+    orchestration runs in training mode — sync-BN over the point-sharding
+    axis (nn/layers.bn_sync_axis; pmean of equal-shard moments = the global
+    moments), per-submodule batch_stats updates collected for
+    `merge_batch_stats`, and the head dropout ('dp1', keep 0.5) drawn with a
+    per-device mask. Gradients flow through the ring attention, `_ring_take`
+    gathers, all_gathers, the 3-NN interpolation, and the decode's sharded
+    k=16 grouping; tests/test_whole_scan_train.py verifies them against the
+    monolithic model on the 8-device CPU mesh.
+
     Args:
-      variables: {'params', 'batch_stats'} of a trained PointASNLSemSeg.
+      variables: {'params', 'batch_stats'} of a PointASNLSemSeg.
       points: (B, N, 3 + feature_channel); N divisible by 256 * mesh size.
       mesh: the device mesh; `axis` names the point-sharding axis.
+      training: True runs training-mode BN (sync over `axis`) and head
+        dropout, and collects batch_stats updates. False is inference.
+      bn_momentum: scheduled BN EMA momentum (traced; training only).
+      dropout_rng: head-dropout PRNG key; None disables dropout even in
+        training (deterministic gradients — how the parity tests run).
+      dropout_keep: keep probability of the head dropout (model 'dp1', 0.5).
       nl_kv_block_size: chunks the REPLICATED levels' (2-4) non-local K/V
         (memory-bounded attention); None uses dense maps there. Layer 1's
         non-local cell always runs ring attention over the sharded axis.
 
     Returns:
-      (B, N, num_class) logits, sharded on the point axis.
+      (logits, l1_xyz, bn_updates): logits (B, N, num_class) and l1_xyz
+      (B, N/8, 3) both sharded on the point axis (l1_xyz feeds the repulsion
+      loss; sharded so its cotangent transposes exactly — see
+      scene_apply_sharded's body note); bn_updates — {'path': subtree} dict
+      (empty when not training), mergeable with `merge_batch_stats`.
     """
     B, N, _ = points.shape
     D = mesh.shape[axis]
@@ -564,7 +588,7 @@ def predict_scan_sharded(
     fps1_idx = farthest_point_sample_sharded(nps[0], xyz, mesh, axis=axis)
 
     def body(x_loc, knn0_loc, fps1):
-        ctx = _Ctx(variables)
+        ctx = _Ctx(variables, training=training, bn_momentum=bn_momentum)
         sid = lax.axis_index(axis)
         sh_xyz = x_loc[..., :3]
         # models/sem_seg.py:40-45 — xyz doubles as the feature when the
@@ -648,15 +672,122 @@ def predict_scan_sharded(
         newp = ctx.conv("fa_layer4/conv_2", 128)(newp)
 
         net = ctx.conv("fc1", 128)(newp)
-        # dropout ('dp1') is identity at inference and holds no parameters
+        # head dropout ('dp1', keep 0.5; holds no parameters): per-device
+        # mask, identity at inference or when no rng is supplied
+        # (deterministic-grad tests)
+        if training and dropout_rng is not None and dropout_keep < 1.0:
+            rng_loc = jax.random.fold_in(dropout_rng, sid)
+            keep = jax.random.bernoulli(rng_loc, dropout_keep, net.shape)
+            net = jnp.where(keep, net / dropout_keep, 0.0).astype(net.dtype)
         logits = ctx.conv("fc2", num_class, act=None, bn=False)(net)
-        return logits
+        # l1_xyz leaves SHARDED — see scene_apply_sharded's body note on the
+        # check_vma=False replicated-output transpose pitfall.
+        return logits, l1_xyz_loc, ctx.updates
 
     fn = shard_map(
         body,
         mesh=mesh,
         in_specs=(P(None, axis, None), P(None, axis, None), P()),
-        out_specs=P(None, axis, None),
+        out_specs=(P(None, axis, None), P(None, axis, None), P()),
         check_vma=False,
     )
-    return fn(points, knn0_idx, fps1_idx)
+    with bn_sync_axis(axis if training else None):
+        return fn(points, knn0_idx, fps1_idx)
+
+
+def predict_scan_sharded(
+    variables,
+    points: jax.Array,
+    mesh: Mesh,
+    *,
+    num_class: int = 21,
+    feature_channel: int = 0,
+    nl_kv_block_size: Optional[int] = 4096,
+    axis: str = "data",
+) -> jax.Array:
+    """Eval-mode `pointasnl_sem_seg` logits, point-sharded over `axis`.
+
+    Returns (B, N, num_class) logits, sharded on the point axis. See
+    `scan_apply_sharded` for the orchestration and knobs.
+    """
+    logits, _, _ = scan_apply_sharded(
+        variables, points, mesh,
+        training=False,
+        num_class=num_class,
+        feature_channel=feature_channel,
+        nl_kv_block_size=nl_kv_block_size,
+        axis=axis,
+    )
+    return logits
+
+
+def make_scan_train_step_sharded(
+    mesh: Mesh,
+    *,
+    bn_schedule,
+    num_class: int = 21,
+    feature_channel: int = 0,
+    nl_kv_block_size: Optional[int] = 4096,
+    axis: str = "data",
+    uniform_weight: float = 0.01,
+    weights_decay: float = 1e-4,
+    repulsion_radius: float = 0.07,
+    dropout_keep: float = 0.5,
+    use_dropout: bool = True,
+):
+    """Jitted point-sharded whole-SCAN training step for the encoder-decoder
+    model (`pointasnl_sem_seg`) — the r5 completion of VERDICT r4 item 5:
+    `make_scene_train_step_sharded` covers the residual model; this covers
+    the decoder's full-N interpolation path (3-NN interpolate from the
+    replicated l1 set + the k=16 point-local conv over SHARDED interpolated
+    features), whose gradients scatter-add back through `_ring_take`.
+
+    Same contract as `make_scene_train_step_sharded`: batch = {'points':
+    (B,N,3+fc), 'labels': (B,N), 'smpw': (B,N)}, placed sharded on the point
+    axis (dim 1) for true O(N/D) memory.
+    """
+    from pointasnl_tpu.nn.losses import segmentation_loss
+
+    def train_step(state, batch, dropout_rng):
+        bn_momentum = bn_schedule(state.step)
+        step_rng = (
+            jax.random.fold_in(dropout_rng, state.step) if use_dropout else None
+        )
+
+        def loss_fn(params):
+            logits, l1_xyz, updates = scan_apply_sharded(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["points"], mesh,
+                training=True,
+                bn_momentum=bn_momentum,
+                dropout_rng=step_rng,
+                dropout_keep=dropout_keep,
+                num_class=num_class,
+                feature_channel=feature_channel,
+                nl_kv_block_size=nl_kv_block_size,
+                axis=axis,
+            )
+            loss, aux = segmentation_loss(
+                logits, batch["labels"], batch["smpw"], params,
+                l1_xyz=l1_xyz,
+                uniform_weight=uniform_weight,
+                weights_decay=weights_decay,
+                radius=repulsion_radius,
+            )
+            return loss, (aux, updates, logits)
+
+        (loss, (aux, updates, logits)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(
+            grads=grads,
+            batch_stats=merge_batch_stats(state.batch_stats, updates),
+        )
+        preds = jnp.argmax(logits, axis=-1)
+        correct = (preds == batch["labels"]).astype(jnp.float32)
+        metrics = dict(aux)
+        metrics["loss"] = loss
+        metrics["accuracy"] = jnp.mean(correct)
+        return new_state, metrics
+
+    return jax.jit(train_step)

@@ -1,0 +1,246 @@
+"""Point-sharded whole-SCAN TRAINING for the encoder-decoder model (r5).
+
+VERDICT r4 item 5: `make_scene_train_step_sharded` covered only the residual
+model; this suite certifies `scan_apply_sharded(training=True)` /
+`make_scan_train_step_sharded` — gradients through the decoder's full-N
+path: 3-NN interpolation from the replicated l1 set, the k=16 point-local
+conv over SHARDED interpolated features (whose cotangents scatter-add back
+through `_ring_take`'s ring), the ring non-local attention, and sync-BN.
+
+Verification strategy mirrors tests/test_whole_scene_train.py (see its
+module docstring for the f64-bisection rationale):
+  - EVAL-mode loss grads in f64: tight (~1e-6) — proves every transpose;
+  - TRAINING-mode grads in f32: loose per-leaf + global direction/norm
+    (BN batch-moment rounding amplifies through ~40 stacked BNs; a real
+    check_vma=False transpose bug is off by the 8x axis size, not percent);
+  - sync-BN updates match the monolithic mutable apply;
+  - a full optimizer-step smoke with real per-device dropout.
+
+Grad parity runs with dropout disabled on both sides (monolithic model
+built with dropout_keep=1.0; sharded apply with dropout_rng=None).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointasnl_tpu.models import PointASNLSemSeg
+from pointasnl_tpu.nn.losses import segmentation_loss
+from pointasnl_tpu.parallel import make_mesh
+from pointasnl_tpu.parallel.whole_scene import (
+    make_scan_train_step_sharded,
+    merge_batch_stats,
+    scan_apply_sharded,
+)
+from pointasnl_tpu.train import (
+    bn_momentum_schedule,
+    create_train_state,
+    staircase_lr_schedule,
+)
+from pointasnl_tpu.train.state import make_optimizer
+
+N_DEV = 8
+NUM_CLASS = 5
+BN_M = 0.9
+
+
+def _setup(n=256 * N_DEV, batch=1, seed=0):
+    mesh = make_mesh(num_devices=N_DEV, axis_names=("data",))
+    rng = np.random.RandomState(seed)
+    points = jnp.asarray(rng.randn(batch, n, 3).astype(np.float32))
+    labels = jnp.asarray(rng.randint(0, NUM_CLASS, size=(batch, n)))
+    smpw = jnp.asarray(1.0 + rng.rand(batch, n).astype(np.float32))
+    model = PointASNLSemSeg(num_class=NUM_CLASS, dropout_keep=1.0)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        points, training=False, bn_momentum=BN_M,
+    )
+    return mesh, model, variables, points, labels, smpw
+
+
+def _loss_of(logits, l1_xyz, params, labels, smpw):
+    loss, _ = segmentation_loss(
+        logits, labels, smpw, params, l1_xyz=l1_xyz,
+        uniform_weight=0.01, weights_decay=1e-4,
+    )
+    return loss
+
+
+def _mono_loss(model, batch_stats, points, labels, smpw, *, training):
+    def loss_fn(params):
+        if training:
+            (logits, end_points), ups = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                points, training=True, bn_momentum=BN_M,
+                rngs={"dropout": jax.random.PRNGKey(9)},  # keep=1.0: unused
+                mutable=["batch_stats"],
+            )
+            aux = (ups["batch_stats"], logits)
+        else:
+            logits, end_points = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                points, training=False, bn_momentum=BN_M,
+            )
+            aux = ({}, logits)
+        return _loss_of(logits, end_points["l1_xyz"], params, labels, smpw), aux
+
+    return loss_fn
+
+
+def _sharded_loss(mesh, batch_stats, points, labels, smpw, *, training):
+    def loss_fn(params):
+        logits, l1_xyz, updates = scan_apply_sharded(
+            {"params": params, "batch_stats": batch_stats},
+            points, mesh, training=training, bn_momentum=BN_M,
+            dropout_rng=None, num_class=NUM_CLASS, nl_kv_block_size=None,
+        )
+        return _loss_of(logits, l1_xyz, params, labels, smpw), (updates, logits)
+
+    return loss_fn
+
+
+def _flatten(tree):
+    return {jax.tree_util.keystr(p): np.asarray(v, np.float64)
+            for p, v in jax.tree_util.tree_flatten_with_path(tree)[0]}
+
+
+def _grad_compare(g_m, g_s, *, leaf_tol, cos_tol, norm_tol):
+    flat_m = _flatten(g_m)
+    flat_s = _flatten(g_s)
+    assert set(flat_m) == set(flat_s)
+    gmax = max(np.abs(v).max() for v in flat_m.values())
+    sq_dot = sq_m = sq_s = 0.0
+    for path, gm in flat_m.items():
+        gs = flat_s[path]
+        sq_dot += float(np.sum(gm * gs))
+        sq_m += float(np.sum(gm * gm))
+        sq_s += float(np.sum(gs * gs))
+        # global-scale floor: zero-gradient leaves (softmax shift-invariant
+        # biases) are pure cancellation noise on both sides
+        scale = max(np.abs(gm).max(), 1e-3 * gmax)
+        err = np.abs(gs - gm).max() / scale
+        assert err < leaf_tol, (
+            f"grad mismatch at {path}: rel err {err:.2e} "
+            f"(leaf scale {np.abs(gm).max():.2e}, global {gmax:.2e})"
+        )
+    cos = sq_dot / max(np.sqrt(sq_m * sq_s), 1e-30)
+    norm_ratio = np.sqrt(sq_s / max(sq_m, 1e-30))
+    assert cos > cos_tol, f"grad direction mismatch: cos={cos:.6f}"
+    assert abs(norm_ratio - 1.0) < norm_tol, f"grad norm ratio {norm_ratio:.4f}"
+
+
+@pytest.fixture(scope="module")
+def trained_pieces():
+    mesh, model, variables, points, labels, smpw = _setup()
+    mono = jax.jit(jax.value_and_grad(
+        _mono_loss(model, variables["batch_stats"], points, labels, smpw,
+                   training=True),
+        has_aux=True,
+    ))
+    shrd = jax.jit(jax.value_and_grad(
+        _sharded_loss(mesh, variables["batch_stats"], points, labels, smpw,
+                      training=True),
+        has_aux=True,
+    ))
+    (loss_m, (bs_m, logits_m)), g_m = mono(variables["params"])
+    (loss_s, (ups_s, logits_s)), g_s = shrd(variables["params"])
+    bs_s = merge_batch_stats(variables["batch_stats"], ups_s)
+    return dict(
+        mesh=mesh, model=model, variables=variables,
+        points=points, labels=labels, smpw=smpw,
+        loss_m=loss_m, loss_s=loss_s,
+        logits_m=logits_m, logits_s=logits_s,
+        bs_m=bs_m, bs_s=bs_s, g_m=g_m, g_s=g_s,
+    )
+
+
+def test_eval_grads_match_monolithic_f64(trained_pieces):
+    """Tight transpose check in f64 (see test_whole_scene_train.py for why
+    f64): any transpose bug in the ring attention, ring-gather, all_gather,
+    3-NN interpolation VJP, or closure-param psum shows as a block-scale
+    (8x) error here."""
+    t = trained_pieces
+    with jax.enable_x64():
+        cast = lambda tree: jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.float64)
+            if jnp.issubdtype(x.dtype, jnp.floating) else x, tree)
+        v = cast(t["variables"])
+        points, smpw = cast(t["points"]), cast(t["smpw"])
+        g_m = jax.jit(jax.grad(
+            _mono_loss(t["model"], v["batch_stats"], points, t["labels"],
+                       smpw, training=False), has_aux=True,
+        ))(v["params"])[0]
+        g_s = jax.jit(jax.grad(
+            _sharded_loss(t["mesh"], v["batch_stats"], points, t["labels"],
+                          smpw, training=False), has_aux=True,
+        ))(v["params"])[0]
+    _grad_compare(g_m, g_s, leaf_tol=1e-6, cos_tol=1 - 1e-9, norm_tol=1e-6)
+
+
+def test_training_loss_logits_and_grads_match(trained_pieces):
+    """THE item-5 check: training-mode grads through ring NL + ring-gather +
+    sync-BN + the decoder's full-N interpolation path.
+
+    leaf_tol is looser than the residual model's 0.15: the encoder-decoder
+    stacks BNs through four decode layers, and the batch-moment rounding
+    noise peaks on small-scale BN-bias leaves (measured 0.36 rel err on
+    fa_layer1/decode_weight_net wconv0 bias — a leaf 68x below the global
+    grad scale). The f64 eval-grad test above is exact to 1e-6, so this
+    slack covers rounding only; a transpose bug is 8x on whole blocks
+    (rel err ~7) and also breaks the global cosine/norm assertions.
+    """
+    t = trained_pieces
+    np.testing.assert_allclose(float(t["loss_s"]), float(t["loss_m"]),
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(t["logits_s"]),
+                               np.asarray(t["logits_m"]),
+                               rtol=2e-2, atol=2e-2)
+    _grad_compare(t["g_m"], t["g_s"],
+                  leaf_tol=0.5, cos_tol=0.999, norm_tol=2e-2)
+
+
+def test_sync_bn_updates_match_monolithic(trained_pieces):
+    """pmean of equal-shard moments == global moments, for every BN."""
+    t = trained_pieces
+    flat_m = jax.tree_util.tree_flatten_with_path(t["bs_m"])[0]
+    flat_s = {jax.tree_util.keystr(p): v
+              for p, v in jax.tree_util.tree_flatten_with_path(t["bs_s"])[0]}
+    assert len(flat_m) == len(flat_s)
+    checked = 0
+    for path, sm in flat_m:
+        ss = flat_s[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(ss), np.asarray(sm), rtol=2e-2, atol=2e-3,
+            err_msg=f"batch-stats mismatch at {jax.tree_util.keystr(path)}",
+        )
+        checked += 1
+    assert checked > 40  # the model holds dozens of BN mean/var pairs
+
+
+def test_sharded_scan_train_step_executes_and_learns(trained_pieces):
+    """Full optimizer step (with real dropout): loss finite, params move,
+    repeated steps reduce the loss on the fixed batch."""
+    t = trained_pieces
+    mesh, model = t["mesh"], t["model"]
+    tx = make_optimizer("adam", staircase_lr_schedule(1e-3, 1, 2e5, 0.7))
+    state = create_train_state(
+        model, t["points"], tx=tx, rng=jax.random.PRNGKey(0)
+    )
+    step = make_scan_train_step_sharded(
+        mesh,
+        bn_schedule=bn_momentum_schedule(1, 2e5),
+        num_class=NUM_CLASS,
+        nl_kv_block_size=None,
+    )
+    batch = {"points": t["points"], "labels": t["labels"], "smpw": t["smpw"]}
+    p0 = jax.tree_util.tree_leaves(state.params)[0]
+    losses = []
+    for _ in range(3):
+        state, metrics = step(state, batch, jax.random.PRNGKey(2))
+        losses.append(float(metrics["loss"]))
+    assert all(np.isfinite(l) for l in losses)
+    assert int(state.step) == 3
+    p1 = jax.tree_util.tree_leaves(state.params)[0]
+    assert not np.allclose(np.asarray(p0), np.asarray(p1))
+    assert losses[-1] < losses[0], f"no learning: {losses}"
