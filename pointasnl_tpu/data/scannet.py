@@ -74,56 +74,66 @@ class ScannetDataset:
             self.labelweights = np.ones(NUM_CLASSES)
 
     def __getitem__(self, index):
+        """Draw one valid 1.5m x 1.5m column crop, 8192-sampled.
+
+        The crop protocol's constants ARE the behavioral contract
+        (scannet_dataset.py:27-66): a random seed point centers a
+        1.5x1.5xfull-height column; candidate membership uses a 0.2m
+        ring margin while the weight mask uses a 0.01m epsilon box; crop
+        validity = >=70% annotated points AND >=2% occupancy of a
+        31x31x62 voxelization; up to 10 redraws before accepting whatever
+        the last draw produced.
+        """
         if self.with_rgb:
-            point_set = self.scene_points_list[index]
+            points = self.scene_points_list[index]
         else:
-            point_set = self.scene_points_list[index][:, 0:3]
-        semantic_seg = self.semantic_labels_list[index].astype(np.int32)
-        coordmax = np.max(point_set[:, 0:3], axis=0)
-        coordmin = np.min(point_set[:, 0:3], axis=0)
-        cur_point_set = point_set[:, 0:3]
-        cur_point_full = point_set
-        cur_semantic_seg = semantic_seg
-        mask = np.ones(len(semantic_seg), bool)
+            points = self.scene_points_list[index][:, 0:3]
+        labels = self.semantic_labels_list[index].astype(np.int32)
+        scene_max = np.max(points[:, 0:3], axis=0)
+        scene_min = np.min(points[:, 0:3], axis=0)
+        crop_xyz = points[:, 0:3]
+        crop_points = points
+        crop_labels = labels
+        in_box = np.ones(len(labels), bool)
         for _ in range(10):
-            curcenter = point_set[self.rs.choice(len(semantic_seg), 1)[0], 0:3]
-            curmin = curcenter - [0.75, 0.75, 1.5]
-            curmax = curcenter + [0.75, 0.75, 1.5]
-            curmin[2] = coordmin[2]
-            curmax[2] = coordmax[2]
-            curchoice = (
+            center = points[self.rs.choice(len(labels), 1)[0], 0:3]
+            box_min = center - [0.75, 0.75, 1.5]
+            box_max = center + [0.75, 0.75, 1.5]
+            box_min[2] = scene_min[2]  # full scene height
+            box_max[2] = scene_max[2]
+            candidate = (
                 np.sum(
-                    (point_set[:, 0:3] >= (curmin - 0.2)) * (point_set[:, 0:3] <= (curmax + 0.2)),
+                    (points[:, 0:3] >= (box_min - 0.2)) * (points[:, 0:3] <= (box_max + 0.2)),
                     axis=1,
                 )
                 == 3
             )
-            cur_point_set = point_set[curchoice, 0:3]
-            cur_point_full = point_set[curchoice, :]
-            cur_semantic_seg = semantic_seg[curchoice]
-            if len(cur_semantic_seg) == 0:
+            crop_xyz = points[candidate, 0:3]
+            crop_points = points[candidate, :]
+            crop_labels = labels[candidate]
+            if len(crop_labels) == 0:
                 continue
-            mask = (
+            in_box = (
                 np.sum(
-                    (cur_point_set >= (curmin - 0.01)) * (cur_point_set <= (curmax + 0.01)), axis=1
+                    (crop_xyz >= (box_min - 0.01)) * (crop_xyz <= (box_max + 0.01)), axis=1
                 )
                 == 3
             )
-            vidx = np.ceil((cur_point_set[mask, :] - curmin) / (curmax - curmin) * [31.0, 31.0, 62.0])
-            vidx = np.unique(vidx[:, 0] * 31.0 * 62.0 + vidx[:, 1] * 62.0 + vidx[:, 2])
-            isvalid = (
-                np.sum(cur_semantic_seg > 0) / len(cur_semantic_seg) >= 0.7
-                and len(vidx) / 31.0 / 31.0 / 62.0 >= 0.02
+            voxels = np.ceil((crop_xyz[in_box, :] - box_min) / (box_max - box_min) * [31.0, 31.0, 62.0])
+            voxels = np.unique(voxels[:, 0] * 31.0 * 62.0 + voxels[:, 1] * 62.0 + voxels[:, 2])
+            valid = (
+                np.sum(crop_labels > 0) / len(crop_labels) >= 0.7
+                and len(voxels) / 31.0 / 31.0 / 62.0 >= 0.02
             )
-            if isvalid:
+            if valid:
                 break
-        choice = self.rs.choice(len(cur_semantic_seg), self.npoints, replace=True)
-        point_set = cur_point_full[choice, :]
-        semantic_seg = cur_semantic_seg[choice]
-        mask = mask[choice]
-        sample_weight = self.labelweights[semantic_seg]
-        sample_weight *= mask
-        return point_set, semantic_seg, sample_weight
+        choice = self.rs.choice(len(crop_labels), self.npoints, replace=True)
+        points = crop_points[choice, :]
+        labels = crop_labels[choice]
+        in_box = in_box[choice]
+        sample_weight = self.labelweights[labels]
+        sample_weight *= in_box  # ring-margin points vote 0 in the loss
+        return points, labels, sample_weight
 
     def __len__(self):
         return len(self.scene_points_list)
