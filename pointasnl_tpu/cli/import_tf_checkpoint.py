@@ -79,7 +79,10 @@ def main(argv=None):
         },
         flags.log_dir,
     )
-    mgr = CheckpointManager(os.path.join(flags.log_dir, "checkpoints"))
+    # Checkpoints live directly in log_dir — where every tester's
+    # --model_path restore looks (the r5 validator's dry test caught the
+    # original "checkpoints/" subdir, which no tester ever read).
+    mgr = CheckpointManager(flags.log_dir)
     path = mgr.save(state, epoch=0, is_best=True)
     print(f"imported {flags.npz} -> {path} (aliases: latest, best)")
     return path

@@ -36,6 +36,13 @@ def parse_args(argv=None):
     p.add_argument("--normal", action="store_true")
     p.add_argument("--noise", action="store_true", help="noisy-point robustness sweep")
     p.add_argument("--num_classes", type=int, default=40)
+    p.add_argument(
+        "--precision", default="float32",
+        choices=["float32", "bfloat16"],
+        help="compute dtype for the jitted model (bf16 = the MXU "
+        "throughput path; see tests/test_precision.py for the "
+        "numerics gate and VALIDATION.md for the recipe-level gate)",
+    )
     p.add_argument("--seed", type=int, default=0)
     p.add_argument(
         "--dp", action="store_true",
@@ -103,6 +110,15 @@ def evaluate_once(state, predict, dataset, flags, rs, num_noisy_points=0,
 
 def main(argv=None):
     flags = parse_args(argv)
+    from pointasnl_tpu.nn import precision
+
+    # the override must cover trace time (nn/precision.py), and every
+    # (re)trace happens inside the body below
+    with precision.compute_dtype(flags.precision):
+        return _main_body(flags)
+
+
+def _main_body(flags):
 
     import jax
     import jax.numpy as jnp

@@ -58,6 +58,40 @@ def test_train_and_eval_modelnet_cli(synthetic_modelnet_1024, tmp_path):
     assert 0.0 <= acc <= 1.0
 
 
+def test_train_and_eval_modelnet_cli_bf16(synthetic_modelnet_1024, tmp_path):
+    """--precision bfloat16 end to end through the real trainer + tester
+    (the r5 user surface for the MXU throughput path; the recipe-level
+    accuracy gate is test_recipe_e2e.py::test_bf16_recipe_matches_f32)."""
+    from pointasnl_tpu.cli import test_modelnet, train_modelnet
+
+    log_dir = str(tmp_path / "logs_bf16")
+    best_acc = train_modelnet.main(
+        [
+            "--data", synthetic_modelnet_1024,
+            "--log_dir", log_dir,
+            "--batch_size", "2",
+            "--num_point", "1024",
+            "--num_classes", "40",
+            "--AS",
+            "--debug",
+            "--precision", "bfloat16",
+        ]
+    )
+    assert 0.0 <= best_acc <= 1.0
+    acc = test_modelnet.main(
+        [
+            "--data", synthetic_modelnet_1024,
+            "--log_dir", log_dir,
+            "--batch_size", "2",
+            "--num_point", "1024",
+            "--num_votes", "1",
+            "--AS",
+            "--precision", "bfloat16",
+        ]
+    )
+    assert 0.0 <= acc <= 1.0
+
+
 def test_train_modelnet_profile_flag(synthetic_modelnet_1024, tmp_path):
     """--profile writes a Perfetto/TensorBoard trace artifact (VERDICT item 10;
     reference analog: the TimeLiner chrome-trace merger in

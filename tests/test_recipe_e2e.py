@@ -115,6 +115,38 @@ def _noise_eval(synthetic_shapes, log_dir, use_as: bool):
     return test_modelnet.main(args)
 
 
+def test_bf16_recipe_matches_f32(synthetic_shapes, tmp_path):
+    """VERDICT r4 item 6: bf16 is the throughput story (14.1 vs 17.8 ms cls
+    step), so it needs training-quality evidence beyond the one-step bounds
+    of tests/test_precision.py. Train the full synthetic recipe in bfloat16
+    and require the best vote accuracy within noise of the f32 run.
+
+    Noise margin: the eval set is 32 samples; binomial sigma at p~0.9 is
+    ~0.05, so 0.12 ~ 2 sigma. A real bf16 training-quality defect (loss
+    scale collapse, BN-stat drift) lands far below the floor assert."""
+    from pointasnl_tpu.cli import train_modelnet
+
+    def train(log_dir, precision):
+        return train_modelnet.main([
+            "--data", synthetic_shapes,
+            "--log_dir", log_dir,
+            "--batch_size", "8",
+            "--num_point", str(N_POINTS),
+            "--num_classes", "4",
+            "--max_epoch", "16",
+            "--learning_rate", "0.002",
+            "--max_to_keep", "3",
+            "--AS",
+            "--precision", precision,
+        ])
+
+    best_f32 = train(str(tmp_path / "f32"), "float32")
+    best_bf16 = train(str(tmp_path / "bf16"), "bfloat16")
+    assert best_f32 >= 0.8, f"f32 control failed to learn: {best_f32}"
+    assert best_bf16 >= 0.8, f"bf16 recipe failed to learn: {best_bf16}"
+    assert best_bf16 >= best_f32 - 0.12, (best_bf16, best_f32)
+
+
 def test_full_recipe_learns_and_as_is_noise_robust(synthetic_shapes, tmp_path):
     as_dir = str(tmp_path / "as")
     noas_dir = str(tmp_path / "noas")

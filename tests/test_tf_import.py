@@ -119,7 +119,8 @@ def test_import_cli_end_to_end(tmp_path, rng):
         model, jnp.zeros((1, 256, 6), jnp.float32), tx=tx,
         rng=jax.random.PRNGKey(0),
     )
-    state = restore_checkpoint(state, str(log_dir / "checkpoints"), "best")
+    # restore exactly where the testers' --model_path restore looks
+    state = restore_checkpoint(state, str(log_dir), "best")
     got = tf_import._flatten(state.params)
     want = tf_import._flatten(variables["params"])
     for path in want:
