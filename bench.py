@@ -13,15 +13,19 @@ batch-scaled variants and a 131k-point whole-scene single-pass inference
 entry (the scene-scale capability the reference's crop pipeline cannot
 express; skipped gracefully if it cannot run).
 
-Crash/timeout safety (r4): every completed entry is persisted to
+Crash/timeout safety (r4/r5): every completed entry is persisted to
 `bench_partial.json` immediately, and the bench runs under a wall-clock
-budget (env BENCH_BUDGET_S, default 900 s). When the budget's SIGALRM fires,
-or the driver sends SIGTERM/SIGINT, the single JSON line is printed from
-whatever completed so far and the process exits 0 — a kill mid-entry can no
-longer lose the finished measurements (round-3 failure mode: rc=124 after
-entry 6 of 8 with nothing parseable on stdout). Entries are ordered so the
-primary metric and the two recipe configs land first, and an entry is only
-started if the remaining budget plausibly covers it.
+budget (env BENCH_BUDGET_S, default 1050 s — the driver kills at ~20 min).
+When the budget's SIGALRM fires, or the driver sends SIGTERM/SIGINT, the
+single JSON line is printed from whatever completed so far and the process
+exits 0 — a kill mid-entry can no longer lose the finished measurements
+(round-3 failure mode: rc=124 after entry 6 of 8 with nothing parseable on
+stdout). `skipped_entries` is always honest (r5): it carries budget-gated
+skips, the entry in flight when a signal fired, and every planned-but-
+unreached config — the r4 artifact's `[]` after losing 3 of 4 entries can't
+recur. Entries are ordered so the primary metric and the two recipe configs
+land first, and an entry is only started if the remaining budget plausibly
+covers it.
 
 Baseline note: the reference publishes no throughput numbers (SURVEY.md §6)
 — accuracy only. "vs_baseline" is therefore measured against an ESTIMATE
@@ -68,9 +72,16 @@ _REPO_DIR = os.path.dirname(os.path.abspath(__file__))
 _PARTIAL_PATH = os.path.join(_REPO_DIR, "bench_partial.json")
 
 # Mutable run state shared with the signal handlers.
+# "in_flight" is the entry being measured right now; "pending" is every
+# planned-but-not-started config. Both feed skipped_entries when the alarm
+# fires mid-run, so a reader can always tell "completed everything" from
+# "lost N configs to the alarm" (VERDICT r4 item 2: the r4 artifact showed
+# skipped_entries [] after losing 3 of 4 entries).
 _STATE: dict = {
     "entries": [],
     "skipped_entries": [],
+    "in_flight": None,
+    "pending": [],
     "eval_points_per_sec_per_chip": None,
     "device_kind": None,
     "emitted": False,
@@ -89,6 +100,10 @@ def _result_json() -> str:
          and e["dtype"] == "float32"),
         entries[0] if entries else None,
     )
+    skipped = list(_STATE["skipped_entries"])
+    if _STATE["in_flight"] is not None:
+        skipped.append(dict(_STATE["in_flight"], reason="in_flight_at_exit"))
+    skipped.extend(dict(p, reason="not_reached") for p in _STATE["pending"])
     return json.dumps(
         {
             "metric": "modelnet40_cls_train_points_per_sec_per_chip",
@@ -109,7 +124,7 @@ def _result_json() -> str:
                 "eval_points_per_sec_per_chip"
             ],
             "entries": entries,
-            "skipped_entries": _STATE["skipped_entries"],
+            "skipped_entries": skipped,
         }
     )
 
@@ -340,7 +355,11 @@ def bench_eval_throughput(n_iters: int = 20) -> float:
 def main():
     import jax
 
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    # Default budget: the driver's kill window is ~20 min; 1050 s leaves
+    # ~2.5 min for the emit + any in-flight dispatch to drain. r4's 900 s
+    # default fired during the seg f32 cold compile (~10 min through the
+    # remote compile service) and lost the flagship entry.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1050"))
     _install_budget(budget_s)
 
     # Persistent compilation cache: a cold host recompiles every entry
@@ -361,28 +380,36 @@ def main():
 
     # Ordered so the primary metric (cls f32) and the two recipe configs
     # (train.py:18-35 cls; README.md:80-84 grid seg) complete first on a
-    # budget-constrained cold host; batch-scaled variants follow.
+    # budget-constrained cold host; eval throughput next (it fills the
+    # headline JSON field); batch-scaled variants and the whole-scene
+    # capability entry follow.
     plan = [
         ("modelnet40_cls", "cls", 16, 1024, "float32"),
         ("scannet_seg_res", "seg", 4, 10240, "float32"),
         ("modelnet40_cls", "cls", 16, 1024, "bfloat16"),
         ("scannet_seg_res", "seg", 4, 10240, "bfloat16"),
+        ("eval_throughput", None, 16, 1024, "float32"),
         # Batch-scaled entries (r3): the recipe batch sizes under-feed the
         # chip — FPS/kNN serialization amortizes across a bigger batch, so
         # these state what the hardware can actually sustain per chip.
         ("modelnet40_cls_b64", "cls", 64, 1024, "bfloat16"),
         ("scannet_seg_res_b16", "seg", 16, 10240, "float32"),
         ("scannet_seg_res_b16", "seg", 16, 10240, "bfloat16"),
+        ("whole_scene_single_pass", None, 1, 131072, "float32"),
     ]
-    slowest = 0.0
+    _STATE["pending"] = [
+        {"config": name, "dtype": dtype} for name, _, _, _, dtype in plan
+    ]
     for name, task, bs, np_, dtype in plan:
+        _STATE["pending"].pop(0)
         # Only skip an entry when the remaining budget is clearly hopeless
         # (under a cold-compile floor). Starting an entry that doesn't finish
-        # costs nothing — the SIGALRM handler emits whatever completed — but
-        # skipping one that would have finished loses a measurement, so the
-        # gate is deliberately aggressive. (An earlier 1.3x-slowest gate let
-        # the first entry's one-off backend-init + cold-compile cost veto
-        # every later, cheaper entry.)
+        # costs nothing — the SIGALRM handler emits whatever completed (and
+        # records the in-flight + unreached configs as skips) — but skipping
+        # one that would have finished loses a measurement, so the gate is
+        # deliberately aggressive. (An earlier 1.3x-slowest gate let the
+        # first entry's one-off backend-init + cold-compile cost veto every
+        # later, cheaper entry.)
         need = 60.0
         if _remaining() < need:
             _STATE["skipped_entries"].append(
@@ -391,30 +418,19 @@ def main():
             print(f"# skipping {name} {dtype}: {_remaining():.0f}s left "
                   f"< {need:.0f}s needed", file=sys.stderr, flush=True)
             continue
-        t0 = time.monotonic()
-        _STATE["entries"].append(bench_one(name, task, bs, np_, dtype))
-        slowest = max(slowest, time.monotonic() - t0)
+        _STATE["in_flight"] = {"config": name, "dtype": dtype}
+        if name == "eval_throughput":
+            _STATE["eval_points_per_sec_per_chip"] = round(
+                bench_eval_throughput(), 1
+            )
+        elif name == "whole_scene_single_pass":
+            scene = bench_whole_scene()
+            if scene is not None:
+                _STATE["entries"].append(scene)
+        else:
+            _STATE["entries"].append(bench_one(name, task, bs, np_, dtype))
+        _STATE["in_flight"] = None
         _persist_partial()
-
-    if _remaining() > 120.0:
-        scene = bench_whole_scene()
-        if scene is not None:
-            _STATE["entries"].append(scene)
-            _persist_partial()
-    else:
-        _STATE["skipped_entries"].append(
-            {"config": "whole_scene_single_pass", "reason": "budget"}
-        )
-
-    if _remaining() > 90.0:
-        _STATE["eval_points_per_sec_per_chip"] = round(
-            bench_eval_throughput(), 1
-        )
-        _persist_partial()
-    else:
-        _STATE["skipped_entries"].append(
-            {"config": "eval_throughput", "reason": "budget"}
-        )
 
     signal.alarm(0)
     _STATE["emitted"] = True
