@@ -25,8 +25,8 @@ validate_seg_scale.py does for ScanNet:
 
 Prints a per-epoch trajectory + a final JSON line for VALIDATION.md.
 
-Usage: python scripts/validate_kitti_scale.py [--train_scans 8]
-       [--val_scans 4] [--points 120000] [--epochs 8] [--out /tmp/kitti_scale]
+Usage: python scripts/validate_kitti_scale.py [--train_scans 48]
+       [--val_scans 4] [--points 120000] [--epochs 30] [--out /tmp/kitti_scale]
 """
 
 from __future__ import annotations
@@ -150,12 +150,17 @@ def score_submission(data_root: str, pred_root: str, seq: str):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--train_scans", type=int, default=8)
+    ap.add_argument("--train_scans", type=int, default=48)
     ap.add_argument("--val_scans", type=int, default=4)
     ap.add_argument("--points", type=int, default=120_000)
     ap.add_argument("--extent", type=float, default=18.0)
-    ap.add_argument("--epochs", type=int, default=8)
-    ap.add_argument("--steps_per_epoch", type=int, default=100)
+    ap.add_argument("--epochs", type=int, default=30)
+    # NOTE: the KITTI grid generator sizes a training epoch at
+    # (n_scans // batch) * batch possibility-crops (reference
+    # semantics, data/semantic_kitti_grid.py:244) — steps_per_epoch
+    # only CAPS it, so scan count x epochs sets the step budget:
+    # 48 scans -> 12 steps/epoch, x30 epochs = 360 steps.
+    ap.add_argument("--steps_per_epoch", type=int, default=1000)
     ap.add_argument("--num_point", type=int, default=8192)
     ap.add_argument("--first_subsampling_dl", type=float, default=0.06)
     ap.add_argument("--num_votes", type=float, default=1.5)
@@ -195,7 +200,6 @@ def main():
         "--steps_per_epoch", str(args.steps_per_epoch),
         "--eval_steps", "15",
         "--learning_rate", "0.002",
-        "--snapshot_gap", "2",
     ])
     train_wall = time.time() - t0
 
