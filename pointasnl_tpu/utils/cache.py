@@ -77,3 +77,38 @@ def host_cache_dir(base_dir: str) -> str:
     """The per-host subdirectory of `base_dir` to hand to
     `jax.config.update("jax_compilation_cache_dir", ...)` for CPU backends."""
     return os.path.join(base_dir, host_fingerprint())
+
+
+def enable_persistent_cache(base_dir: str | None = None) -> str:
+    """Point jax's persistent compilation cache at a per-host directory.
+
+    Call before backend init (jax.config updates only; nothing is created
+    eagerly). Without this, every CLI run cold-compiles its full models —
+    ~10-40 min per executable through this environment's remote TPU compile
+    service (r5: the scaled KITTI validation paid that twice back to back).
+    TPU executables are serialized host-independently, but the directory is
+    fingerprint-segregated anyway so an eventual CPU-backend run in the same
+    process tree cannot load cross-ISA XLA:CPU AOT entries (the SIGILL
+    class this module exists to prevent).
+
+    base_dir defaults to $POINTASNL_CACHE_DIR or ~/.cache/pointasnl_tpu/jax;
+    set POINTASNL_NO_CACHE=1 to disable. Returns the directory used ('' when
+    disabled).
+    """
+    if os.environ.get("POINTASNL_NO_CACHE"):
+        return ""
+    if base_dir is None:
+        base_dir = os.environ.get("POINTASNL_CACHE_DIR") or os.path.join(
+            os.path.expanduser("~"), ".cache", "pointasnl_tpu", "jax"
+        )
+    import jax
+
+    # Respect a cache the embedding process already configured (the test
+    # suite's conftest, bench.py, the dryrun): a mid-process override would
+    # split one run's entries across directories.
+    if jax.config.jax_compilation_cache_dir:
+        return jax.config.jax_compilation_cache_dir
+    cache_dir = host_cache_dir(base_dir)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return cache_dir

@@ -82,3 +82,22 @@ def test_host_cache_dir_is_fingerprint_subdir():
 def test_live_fingerprint_uses_real_jaxlib():
     # The live path must not degrade to "unknown" in this environment.
     assert cache._jaxlib_version() != "unknown"
+
+
+def test_enable_persistent_cache_respects_existing(tmp_path, monkeypatch):
+    """cli/__init__ enables the persistent cache by default, but must never
+    override a cache the embedding process already configured (the suite's
+    conftest does, here) — a mid-process switch would split one run's
+    entries across directories."""
+    import jax
+
+    from pointasnl_tpu.utils import cache
+
+    before = jax.config.jax_compilation_cache_dir
+    assert before  # conftest configured one
+    got = cache.enable_persistent_cache(str(tmp_path / "other"))
+    assert got == before
+    assert jax.config.jax_compilation_cache_dir == before
+    # opt-out env is honored
+    monkeypatch.setenv("POINTASNL_NO_CACHE", "1")
+    assert cache.enable_persistent_cache(str(tmp_path / "x")) == ""
