@@ -95,9 +95,9 @@ def main():
     args = ap.parse_args()
 
     if args.no_compile:
-        # r4 driver artifact (cls) + r2 (seg; flops stable across rounds
-        # within the one-hot-VJP addition, which RAISES them)
-        costs = {"cls": (113.86e9, None), "seg": (198.6e9, None)}
+        # r4/r5 driver+warm-up captures (seg includes the one-hot
+        # scatter-VJP matmuls adopted in r3/r4)
+        costs = {"cls": (113.86e9, None), "seg": (238.13e9, None)}
     else:
         costs = {
             "cls": cost_analysis("cls", 16, 1024),

@@ -35,17 +35,11 @@ def rng():
     return np.random.RandomState(0)
 
 
-@pytest.fixture(autouse=True, scope="module")
-def _bound_suite_memory():
-    """Drop in-process jit/executable caches after each test module.
-
-    The full suite compiles ~100 full-model executables in one process;
-    letting them accumulate grew RSS until an XLA:CPU runtime abort
-    (observed r5: 'Fatal Python error: Aborted' inside a buffer fetch at
-    ~87% of the suite, while the same test passes in isolation). Modules
-    don't share jitted callables, so clearing between modules costs only a
-    re-trace on the rare cross-module recompile — which then reloads from
-    the persistent cache.
-    """
-    yield
-    jax.clear_caches()
+# NOTE (r5): do NOT add an autouse jax.clear_caches() between modules.
+# It was tried to bound the one-process RSS of ~100 compiled executables
+# and produced a DETERMINISTIC 'Fatal Python error: Aborted' inside the
+# next sharded-path buffer fetch (test_cli_kitti --sharded), reproducible
+# on an idle machine and absent without the fixture. The original
+# once-in-a-run abort it was meant to fix correlates with concurrent
+# heavyweight processes starving the 8-virtual-device collectives
+# (CLAUDE.md: serialize the suite with other heavy runs).
