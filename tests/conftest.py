@@ -11,7 +11,18 @@ import os
 
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+    _flags = (_flags + " --xla_force_host_platform_device_count=8").strip()
+# XLA:CPU collectives run one rendezvous across the 8 virtual devices'
+# threads with a 40 s TERMINATE timeout — on this 1-core host a slow
+# scheduling round can keep a participant away longer, and the runtime
+# then CHECK-kills the whole process ("Exiting to ensure a consistent
+# program state", rendezvous.cc:127; bisected r5 from three 'Fatal Python
+# error: Aborted' suite runs inside sharded-path fetches). Raise both
+# rendezvous timeouts far above single-core scheduling jitter.
+if "collective_call_terminate_timeout" not in _flags:
+    _flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=120"
+               " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = _flags
 
 import jax  # noqa: E402
 
