@@ -27,6 +27,14 @@ os.environ["XLA_FLAGS"] = _flags
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+# Synchronous CPU dispatch: with async dispatch, executions of
+# collective-bearing programs can interleave on the shared device thread
+# pool and deadlock the rendezvous NONDETERMINISTICALLY (r5: a solo suite
+# run froze ~20 min inside a sharded-path fetch with zero CPU across all
+# threads — a true deadlock, distinct from the oversubscription livelock
+# documented in CLAUDE.md). Sync dispatch serializes executions; the DP/
+# sharded tests measure correctness, not dispatch overlap.
+jax.config.update("jax_cpu_enable_async_dispatch", False)
 
 # Persistent compilation cache: the e2e CLI tests compile full models; caching
 # makes repeat suite runs dramatically faster. Segregated per host fingerprint

@@ -101,26 +101,54 @@ def test_train_and_test_kitti_cli(synthetic_kitti, tmp_path):
 
     # point-sharded whole-scan single-pass over the 8-device mesh
     # (parallel/whole_scene.predict_scan_sharded behind --sharded): 4000-pt
-    # scan dup-padded to 4096 = a multiple of 256 * 8 devices
-    miou_shard = test_semantic_kitti.main(
-        [
-            "--data", synthetic_kitti,
-            "--model_path", log_dir,
-            "--ckpt", "latest",
-            "--dump_dir", str(tmp_path / "dump_shard"),
-            "--save_dir", str(tmp_path / "pred_shard"),
-            "--batch_size", "2",
-            "--num_point", "512",
-            "--num_votes", "1",
-            "--with_remission",
-            "--max_scans", "1",
-            "--single_pass",
-            "--sharded",
-            "--pad_quantum", "2048",
-            "--nl_block_size", "512",
-        ]
+    # scan dup-padded to 4096 = a multiple of 256 * 8 devices.
+    # Runs in a FRESH subprocess WITHOUT the persistent compilation cache.
+    # Root cause (r5, bisected): the persistent-cache-DESERIALIZED XLA:CPU
+    # executable of this exact program — the suite's only one with
+    # collectives inside a lax.scan ring (--nl_block_size 512 => blockwise
+    # NL over a ppermute ring) — wedges its rendezvous (7 of 8 participants
+    # arrive; with stock 40 s timeouts the runtime CHECK-aborts the whole
+    # process, with raised timeouts every thread futex-parks at zero CPU).
+    # A freshly COMPILED executable of the same program passes every time,
+    # as do all the suite's cached collective programs without in-loop
+    # collectives. Compiling fresh here costs ~90 s and removes the only
+    # known deserialization-unsafe program from the long-lived suite
+    # process. See CLAUDE.md "XLA:CPU collectives" notes.
+    import json
+    import subprocess
+    import sys
+
+    shard_args = [
+        "--data", synthetic_kitti,
+        "--model_path", log_dir,
+        "--ckpt", "latest",
+        "--dump_dir", str(tmp_path / "dump_shard"),
+        "--save_dir", str(tmp_path / "pred_shard"),
+        "--batch_size", "2",
+        "--num_point", "512",
+        "--num_votes", "1",
+        "--with_remission",
+        "--max_scans", "1",
+        "--single_pass",
+        "--sharded",
+        "--pad_quantum", "2048",
+        "--nl_block_size", "512",
+    ]
+    child = (
+        "import json, sys\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "jax.config.update('jax_cpu_enable_async_dispatch', False)\n"
+        "from pointasnl_tpu.cli import test_semantic_kitti\n"
+        f"miou = test_semantic_kitti.main(json.loads({json.dumps(shard_args)!r}))\n"
+        "assert miou is not None and 0.0 <= miou <= 1.0, miou\n"
     )
-    assert 0.0 <= miou_shard <= 1.0
+    subprocess.run(
+        [sys.executable, "-c", child],
+        check=True,
+        timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
     shard_files = list(
         (tmp_path / "pred_shard" / "sequences" / "08" / "predictions").glob("*.label")
     )
