@@ -143,10 +143,16 @@ def test_train_and_test_kitti_cli(synthetic_kitti, tmp_path):
         f"miou = test_semantic_kitti.main(json.loads({json.dumps(shard_args)!r}))\n"
         "assert miou is not None and 0.0 <= miou <= 1.0, miou\n"
     )
+    child_env = dict(os.environ)
+    # The cli package auto-enables its own persistent cache; without this
+    # opt-out the child would LOAD the poisoned deserialized executable
+    # that a previous (passing, freshly-compiling) run persisted there.
+    child_env["POINTASNL_NO_CACHE"] = "1"
     subprocess.run(
         [sys.executable, "-c", child],
         check=True,
         timeout=900,
+        env=child_env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
     shard_files = list(

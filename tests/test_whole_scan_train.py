@@ -45,6 +45,25 @@ NUM_CLASS = 5
 BN_M = 0.9
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _no_persistent_cache():
+    """Compile this module's programs fresh, never from the persistent cache.
+
+    r5 empirical finding (CLAUDE.md "XLA:CPU collectives" notes): the
+    encoder-decoder sharded TRAIN programs wedge their collective
+    rendezvous when DESERIALIZED from the persistent cache (all device
+    threads futex-park at zero CPU; the freshly compiled identical HLO
+    passes every time, as do this repo's other cached collective programs,
+    e.g. the whole-SCENE train/forward suite). Until the deserialization
+    bug is mapped or fixed upstream, this module trades ~10 min of fresh
+    compiles for determinism.
+    """
+    prev = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", prev)
+
+
 def _setup(n=256 * N_DEV, batch=1, seed=0):
     mesh = make_mesh(num_devices=N_DEV, axis_names=("data",))
     rng = np.random.RandomState(seed)
