@@ -352,15 +352,42 @@ def bench_eval_throughput(n_iters: int = 20) -> float:
     return 16 * 1024 * n_iters / (time.perf_counter() - t0)
 
 
-def main():
-    import jax
+# Ordered so the primary metric (cls f32) and the two recipe configs
+# (train.py:18-35 cls; README.md:80-84 grid seg) complete first on a
+# budget-constrained cold host; eval throughput third (it fills the
+# headline JSON field, and on a 1-CPU host each entry costs ~4-6 min of
+# trace+lower that the executable cache cannot skip — the driver window
+# fits ~3 entries); batch-scaled variants (r3: the recipe batch sizes
+# under-feed the chip) and the whole-scene capability entry follow.
+PLAN = [
+    ("modelnet40_cls", "cls", 16, 1024, "float32"),
+    ("scannet_seg_res", "seg", 4, 10240, "float32"),
+    ("eval_throughput", None, 16, 1024, "float32"),
+    ("modelnet40_cls", "cls", 16, 1024, "bfloat16"),
+    ("scannet_seg_res", "seg", 4, 10240, "bfloat16"),
+    ("modelnet40_cls_b64", "cls", 64, 1024, "bfloat16"),
+    ("scannet_seg_res_b16", "seg", 16, 10240, "float32"),
+    ("scannet_seg_res_b16", "seg", 16, 10240, "bfloat16"),
+    ("whole_scene_single_pass", None, 1, 131072, "float32"),
+]
 
+
+def main():
     # Default budget: the driver's kill window is ~20 min; 1050 s leaves
     # ~2.5 min for the emit + any in-flight dispatch to drain. r4's 900 s
     # default fired during the seg f32 cold compile (~10 min through the
     # remote compile service) and lost the flagship entry.
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1050"))
     _install_budget(budget_s)
+
+    # Seed the skip accounting BEFORE backend init (~1 min through the
+    # tunnel): an alarm that fires during init must still report every
+    # planned config as not_reached instead of an ambiguous empty list.
+    _STATE["pending"] = [
+        {"config": name, "dtype": dtype} for name, _, _, _, dtype in PLAN
+    ]
+
+    import jax
 
     # Persistent compilation cache: a cold host recompiles every entry
     # through the remote compile service (~30-120 s each; a full bench run
@@ -378,32 +405,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     _STATE["device_kind"] = jax.devices()[0].device_kind
 
-    # Ordered so the primary metric (cls f32) and the two recipe configs
-    # (train.py:18-35 cls; README.md:80-84 grid seg) complete first on a
-    # budget-constrained cold host; eval throughput next (it fills the
-    # headline JSON field); batch-scaled variants and the whole-scene
-    # capability entry follow.
-    plan = [
-        ("modelnet40_cls", "cls", 16, 1024, "float32"),
-        ("scannet_seg_res", "seg", 4, 10240, "float32"),
-        # eval throughput third: it fills the headline JSON field, and on a
-        # 1-CPU host each entry costs ~4-6 min of trace+lower that the
-        # executable cache cannot skip — the driver window fits ~3 entries
-        ("eval_throughput", None, 16, 1024, "float32"),
-        ("modelnet40_cls", "cls", 16, 1024, "bfloat16"),
-        ("scannet_seg_res", "seg", 4, 10240, "bfloat16"),
-        # Batch-scaled entries (r3): the recipe batch sizes under-feed the
-        # chip — FPS/kNN serialization amortizes across a bigger batch, so
-        # these state what the hardware can actually sustain per chip.
-        ("modelnet40_cls_b64", "cls", 64, 1024, "bfloat16"),
-        ("scannet_seg_res_b16", "seg", 16, 10240, "float32"),
-        ("scannet_seg_res_b16", "seg", 16, 10240, "bfloat16"),
-        ("whole_scene_single_pass", None, 1, 131072, "float32"),
-    ]
-    _STATE["pending"] = [
-        {"config": name, "dtype": dtype} for name, _, _, _, dtype in plan
-    ]
-    for name, task, bs, np_, dtype in plan:
+    for name, task, bs, np_, dtype in PLAN:
         _STATE["pending"].pop(0)
         # Only skip an entry when the remaining budget is clearly hopeless
         # (under a cold-compile floor). Starting an entry that doesn't finish
